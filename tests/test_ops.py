@@ -1,0 +1,155 @@
+"""Score machinery and evolution-equation tests against analytic formulas.
+
+An exactly-identity flow (out_scale=0 -> all coupling outputs are 0) over a
+standard-normal latent gives log p(x) = -d/2 log(2 pi) - |x|^2/2, for which
+every operator's Eloc has a closed form -- the same oracle idea as the
+reference's SanityINN (net.py:220-235)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+
+from vmc_pde_tpu.models import flow
+from vmc_pde_tpu.ops import evolution, score
+
+
+def identity_flow(dim, latent="Gauss"):
+    return flow.build_flow(0, dim=dim, depth=4, out_scale=0.0,
+                           latent_name=latent, dtype=jnp.float64)
+
+
+def nontrivial_flow(dim):
+    return flow.build_flow(0, dim=dim, depth=3, out_scale=0.2,
+                           dtype=jnp.float64)
+
+
+def test_score_identity_flow():
+    dim = 4
+    fl, params = identity_flow(dim)
+    theta, unravel = score.flat_param_view(params)
+    f = score.make_flat_log_prob(fl, unravel)
+    x = jnp.array([0.5, -1.0, 2.0, 0.0])
+    logp, g, O = score.value_score_and_param_grad(f, theta, x)
+    np.testing.assert_allclose(
+        float(logp), -dim / 2 * np.log(2 * np.pi) - 0.5 * float(x @ x),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(g), -np.asarray(x), atol=1e-12)
+    assert O.shape == (theta.size,)
+
+
+def test_hessian_block_matches_full():
+    dim = 6
+    fl, params = nontrivial_flow(dim)
+    theta, unravel = score.flat_param_view(params)
+    f = score.make_flat_log_prob(fl, unravel)
+    x = jnp.array([0.5, -1.0, 2.0, 0.0, 0.3, -0.7])
+    H_full = score.hessian_block(f, theta, x, None)
+    idx = (1, 3, 5)
+    H_sub = score.hessian_block(f, theta, x, idx)
+    np.testing.assert_allclose(
+        np.asarray(H_sub),
+        np.asarray(H_full)[np.ix_(idx, idx)],
+        atol=1e-10,
+    )
+    # symmetry of the full Hessian
+    np.testing.assert_allclose(
+        np.asarray(H_full), np.asarray(H_full).T, atol=1e-9
+    )
+
+
+def _eloc(eq, fl, params, x, t=0.0):
+    theta, unravel = score.flat_param_view(params)
+    f = score.make_flat_log_prob(fl, unravel)
+    logp, g, O = jax.vmap(
+        partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
+    )(theta, x)
+    idx = eq.hessian_coords(x.shape[-1])
+    hess = None
+    if idx is not None:
+        hess = jax.vmap(
+            partial(score.hessian_block, f, idx=tuple(idx)), in_axes=(None, 0)
+        )(theta, x)
+    return eq.eloc(x, g, hess, t)
+
+
+def test_diffusion_eloc_analytic():
+    """Standard normal: Eloc = D(|x|^2 - d)."""
+    dim, D = 4, 1.3
+    fl, params = identity_flow(dim)
+    x = jnp.array([[0.5, -1.0, 2.0, 0.0], [1.0, 1.0, 1.0, 1.0]])
+    eloc = _eloc(evolution.Diffusion(D=D), fl, params, x)
+    expected = D * (np.sum(np.asarray(x) ** 2, axis=-1) - dim)
+    np.testing.assert_allclose(np.asarray(eloc), expected, rtol=1e-10)
+
+
+def test_diffusion_drift_eloc_analytic():
+    """Adds mu * sum(-x)."""
+    dim, D, mu = 4, 1.0, 4.0
+    fl, params = identity_flow(dim)
+    x = jnp.array([[0.5, -1.0, 2.0, 0.0]])
+    eloc = _eloc(evolution.DiffusionDrift(D=D, mu=mu), fl, params, x)
+    xa = np.asarray(x)
+    expected = D * (np.sum(xa**2, -1) - dim) + mu * np.sum(-xa, -1)
+    np.testing.assert_allclose(np.asarray(eloc), expected, rtol=1e-10)
+
+
+def test_anisotropic_eloc_analytic():
+    """g D g + tr(H D) with g = -x, H = -I: x D x - tr D."""
+    dim = 4
+    fl, params = identity_flow(dim)
+    eq = evolution.DiffusionAnisotropic(dim=dim, seed=0)
+    Dm = eq.D_matrix
+    x = jnp.array([[0.5, -1.0, 2.0, 0.0]])
+    eloc = _eloc(eq, fl, params, x)
+    xa = np.asarray(x)[0]
+    expected = xa @ Dm @ xa - np.trace(Dm)
+    np.testing.assert_allclose(np.asarray(eloc)[0], expected, rtol=1e-8)
+
+
+def test_advection_paper_velocity_spot():
+    """Spot value matches the reference formula (evolutionEq.py:23-27)."""
+    v = evolution.velocity_field_mlpaper(jnp.array([0.3, 0.7]), t=0.5, T=5.0)
+    c = np.cos(np.pi * 0.5 / 5.0)
+    expected = np.array([
+        -np.sin(np.pi * 0.3) ** 2 * np.sin(2 * np.pi * 0.7) * c,
+        np.sin(np.pi * 0.7) ** 2 * np.sin(2 * np.pi * 0.3) * c,
+    ])
+    np.testing.assert_allclose(np.asarray(v), expected, rtol=1e-12)
+
+
+def test_hamiltonian_velocity_spot():
+    """evolutionEq.py:122-125's __main__ check: v([3,3]) for harmonic H."""
+    v = evolution.velocity_field_hamiltonian(jnp.array([3.0, 3.0]), t=0.0)
+    np.testing.assert_allclose(np.asarray(v), [3.0, -3.0], rtol=1e-12)
+
+
+def test_fokker_planck_eloc_analytic():
+    """[x,p] standard normal; v=(p,-x): adv = -(-x p - p(-x)) = 0... compute
+    full closed form instead: g=-c, H_pp=-I_p.
+    adv  = -g.v = x p + p (-x) ... evaluate numerically against formula."""
+    dim = 2
+    fl, params = identity_flow(dim)
+    eq = evolution.FokkerPlanck(m=1.0, omega=1.0, T=10.0, gamma=1.0, lam=0.0)
+    x = jnp.array([[1.5, -0.5], [0.0, 2.0]])
+    eloc = _eloc(eq, fl, params, x)
+    xa = np.asarray(x)
+    q, p = xa[:, 0], xa[:, 1]
+    g = -xa
+    adv = -(g[:, 0] * p + g[:, 1] * (-q))
+    diff = 1.0 * 1.0 * 10.0 * (p**2 - 1.0)
+    damp = 1.0 * p * (-p)
+    np.testing.assert_allclose(np.asarray(eloc), adv + diff + damp,
+                               rtol=1e-10)
+
+
+def test_make_equation_registry():
+    for name in ["diffusion", "diffusion_drift", "diffusion_anisotropic",
+                 "advection_paper", "advection_hamiltonian",
+                 "advection_hamiltonian_wDiss"]:
+        eq = evolution.make_equation(name, dim=4)
+        assert eq.name == name
+    with pytest.raises(ValueError):
+        evolution.make_equation("nope", dim=2)

@@ -1,0 +1,129 @@
+"""SDE oracle validation and the end-to-end 'mwe' workload: 2D Gaussian
+diffusion evolved by the full TDVP pipeline, checked against closed forms
+(covariance 1 + 2Dt, entropy d/2 log(2 pi e (1+2Dt)) -- visualization.py:188)
+and against the SDE oracle. This is the reference's Colab MWE (SURVEY.md
+section 7, minimum end-to-end slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmc_pde_tpu.config import preset
+from vmc_pde_tpu.driver import build_problem, run
+from vmc_pde_tpu.oracle import sde
+from vmc_pde_tpu.viz.plots import gauss_diffusion_entropy
+
+
+def test_oracle_diffusion_covariance_growth():
+    """Pure diffusion: Cov(t) = (1 + 2 D t) I."""
+    n, dim = 20000, 2
+    coords = jax.random.normal(jax.random.PRNGKey(0), (n, dim))
+    coords, infos = sde.evolve(
+        coords, 0.0, 1e-2, 100, drift_name="diffusion", params={"D": 1.0},
+        key=jax.random.PRNGKey(1),
+    )
+    t_final = float(infos["times"][-1]) + 1e-2
+    cov = np.cov(np.asarray(coords).T, ddof=0)
+    np.testing.assert_allclose(cov, (1 + 2 * t_final) * np.eye(dim),
+                               atol=0.12)
+
+
+def test_oracle_phase_space_stationary_variance():
+    """Damped harmonic phase space reaches Var ~ T (temperature) in both
+    coordinates at long times (exact_dyn.py's 'Wiener' baseline behavior)."""
+    n, dim, T = 20000, 2, 4.0
+    coords = jax.random.normal(jax.random.PRNGKey(0), (n, dim))
+    coords, infos = sde.evolve(
+        coords, 0.0, 1e-2, 1500, drift_name="phase_space",
+        params={"m": 1.0, "omega": 1.0, "gamma": 1.0, "T": T, "lam": 0.0},
+        key=jax.random.PRNGKey(1),
+    )
+    var = np.var(np.asarray(coords), axis=0)
+    np.testing.assert_allclose(var, [T, T], rtol=0.12)
+
+
+@pytest.mark.slow
+def test_e2e_mwe_short():
+    """Short 'mwe' run: after ~40 steps with dt ramping 1e-3 -> 1e-2, the
+    model covariance must track 1 + 2t and entropy the analytic curve."""
+    cfg = preset(
+        "mwe",
+        n_samples_tdvp=4096,
+        n_samples_obs=4096,
+        dt0=1e-3,
+        t_end=0.30,
+        precision="f64",
+        verbose=False,
+        grid_points=100,
+    )
+    state, rec = run(cfg)
+    infos = rec.as_arrays()
+    t = infos["times"] + np.diff(infos["times"], append=infos["times"][-1]).mean()
+    # covariance diagonal tracks 1 + 2 t
+    cov = infos["covar"][-1]
+    t_final = infos["times"][-1]
+    np.testing.assert_allclose(
+        np.diag(cov), (1 + 2 * t_final) * np.ones(2), rtol=0.08
+    )
+    # entropy tracks the analytic Gaussian-diffusion curve
+    S_exact = gauss_diffusion_entropy(infos["times"], dim=2)
+    err = np.abs(infos["entropy"] - S_exact)
+    assert err.max() < 0.06, err.max()
+    # solver residual stays tiny (reference: median 2.9e-12, BASELINE.md)
+    assert np.median(infos["solver_res"]) < 1e-8
+    # grid normalization stays ~1 (main.py:193-196)
+    if "grid_integral" in infos:
+        np.testing.assert_allclose(infos["grid_integral"], 1.0, atol=0.03)
+
+
+def test_build_problem_all_presets():
+    """Every preset wires up (no run)."""
+    from vmc_pde_tpu.config import PRESETS
+
+    for name in PRESETS:
+        cfg = preset(name, n_samples_tdvp=64, n_samples_obs=64,
+                     precision="f64", verbose=False)
+        state, tdvp, stepper, eq, grid = build_problem(cfg)
+        assert state.numParameters > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vmc_pde_tpu.utils.checkpoint import (latest_checkpoint,
+                                              load_checkpoint,
+                                              save_checkpoint)
+
+    theta = np.linspace(0, 1, 37)
+    p = save_checkpoint(str(tmp_path), 5, 0.25, theta, 1e-3)
+    ck = load_checkpoint(p)
+    assert ck["step"] == 5 and ck["t"] == 0.25 and ck["dt"] == 1e-3
+    np.testing.assert_array_equal(ck["theta"], theta)
+    assert latest_checkpoint(str(tmp_path))["step"] == 5
+
+
+def test_infos_hdf5_roundtrip(tmp_path):
+    from vmc_pde_tpu.utils.infos import InfoRecorder, load_infos, store_infos
+
+    rec = InfoRecorder()
+    for i in range(3):
+        rec.append("times", 0.1 * i)
+        rec.append("entropy", 1.0 + i)
+        rec.append("ev", np.linspace(0, 1, 5))
+    path = store_infos(str(tmp_path), rec)
+    back = load_infos(path)
+    np.testing.assert_allclose(back["times"], [0.0, 0.1, 0.2])
+    assert back["ev"].shape == (3, 5)
+
+
+def test_pretrain_decreases_loss(ctx1):
+    from vmc_pde_tpu.models.flow import build_flow
+    from vmc_pde_tpu.models.state import VarState
+    from vmc_pde_tpu.pretrain.train import gen_data, train
+    from vmc_pde_tpu.utils.dtypes import Precision
+
+    prec = Precision.f64_everywhere()
+    fl, params = build_flow(0, dim=2, depth=2, dtype=jnp.float64)
+    st = VarState(fl, params, ctx=ctx1, precision=prec)
+    data, target = gen_data((2000, 2), mode="standard_normal", std=1.4)
+    losses = train(st, data, batchsize=200, epochs=8, lr=3e-3)
+    assert losses[-1] < losses[0]

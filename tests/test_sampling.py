@@ -1,0 +1,87 @@
+"""Sampler tests: exact latent paths, the repaired Metropolis path (quirk Q1),
+and mesh-aware budget rounding (quirk Q3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmc_pde_tpu.models import flow
+from vmc_pde_tpu.sampling.sampler import Sampler, cos_dist_log_prob
+
+
+def test_budget_rounding(ctx8):
+    s = Sampler(dim=2, ctx=ctx8, name="Gauss", dtype=jnp.float64)
+    assert s.rounded_budget(1000) == 1000  # 8 | 1000
+    assert s.rounded_budget(1001) == 1008
+    m = Sampler(dim=2, ctx=ctx8, name="cos_dist", n_chains=30,
+                mcmc_info={"offset": np.zeros(2), "bound": 0.25},
+                dtype=jnp.float64)
+    b = m.rounded_budget(1000)
+    assert b % np.lcm(8, 30) == 0 and b >= 1000
+
+
+def test_exact_gauss_offset(ctx1):
+    fl, params = flow.build_flow(0, dim=2, offset=(1.0, -2.0),
+                                 dtype=jnp.float64)
+    s = Sampler(dim=2, ctx=ctx1, name="Gauss", dtype=jnp.float64)
+    z, n = s.sample(jax.random.PRNGKey(0), fl, params, 100_000)
+    assert n == 100_000
+    # latent init is N(0, I); offset shifts the mean (sampler.py:86)
+    np.testing.assert_allclose(
+        np.mean(np.asarray(z), axis=0), [1.0, -2.0], atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.cov(np.asarray(z).T, ddof=0), np.eye(2), atol=0.02
+    )
+
+
+def test_metropolis_cos_dist(ctx1):
+    """The Metropolis path samples the paper's cosine bump: compare empirical
+    radial CDF against the analytic density (fixes quirk Q1 -- this path was
+    dead code in the reference)."""
+    offset = np.array([0.25, 0.25])
+    s = Sampler(dim=2, ctx=ctx1, name="cos_dist", n_chains=64,
+                mcmc_info={"offset": offset, "bound": 0.25},
+                burn_in=200, dtype=jnp.float64)
+    fl, params = flow.build_flow(0, dim=2, dtype=jnp.float64)
+    z, n = s.sample(jax.random.PRNGKey(2), fl, params, 200_000)
+    z = np.asarray(z)
+    assert s.last_info.acceptance_rate > 0.05
+    r = np.linalg.norm(z - offset, axis=-1)
+    assert r.max() <= 0.25 + 1e-9
+    # analytic radial pdf ~ r (1 + cos(4 pi r)); check mean radius
+    rr = np.linspace(0, 0.25, 2001)
+    pdf = rr * (1 + np.cos(4 * np.pi * rr))
+    mean_r = np.trapezoid(rr * pdf, rr) / np.trapezoid(pdf, rr)
+    np.testing.assert_allclose(r.mean(), mean_r, rtol=0.03)
+
+
+def test_cos_dist_log_prob_matches_reference_formula():
+    x = jnp.array([0.3, 0.35])
+    off = jnp.array([0.25, 0.25])
+    r = min(1.0, 4.0 * float(jnp.linalg.norm(x - off)))
+    expected = np.log(0.5 * (1 + np.cos(np.pi * r)))
+    np.testing.assert_allclose(
+        float(cos_dist_log_prob(x, off)), expected, rtol=1e-12
+    )
+
+
+def test_student_t_sampler_through_state(ctx1):
+    """End-to-end: Student-t latent draw + push through near-identity flow."""
+    from vmc_pde_tpu.models.state import VarState
+    from vmc_pde_tpu.utils.dtypes import Precision
+
+    prec = Precision.f64_everywhere()
+    fl, params = flow.build_flow(0, dim=4, latent_name="Student_t",
+                                 dtype=jnp.float64)
+    s = Sampler(dim=4, ctx=ctx1, name="Student_t", dtype=jnp.float64)
+    st = VarState(fl, params, sampler=s, ctx=ctx1, precision=prec)
+    x, logp = st.sample(50_000)
+    x = np.asarray(x)
+    # nu = 2 at init => heavy tails, finite mean 0
+    assert x.shape == (50_000, 4)
+    np.testing.assert_allclose(np.mean(x, axis=0), np.zeros(4), atol=0.25)
+    # logp should match direct evaluation
+    lp2 = np.asarray(st(x[:100]))
+    np.testing.assert_allclose(np.asarray(logp)[:100], lp2, atol=1e-9)

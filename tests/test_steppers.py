@@ -1,0 +1,79 @@
+"""Stepper tests on known ODEs: convergence order, dt ramp, adaptive accept/
+reject behavior (stepper.py semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vmc_pde_tpu.solver.steppers import AdaptiveHeun, FixedStepper
+
+
+def make_linear_rhs(lam=-1.0):
+    """dy/dt = lam * y; also exposes .SExp for the adaptive norm."""
+
+    def f(y, t, key, intStep=0):
+        return lam * y, {"solver_res": 0.0}
+
+    f.SExp = jnp.eye(1)
+    return f
+
+
+def test_fixed_heun_second_order():
+    errs = []
+    for dt in (0.1, 0.05):
+        stepper = FixedStepper(timeStep=dt, maxStep=dt, increase_fac=1.0,
+                               mode="Heun")
+        y = jnp.array([1.0])
+        t = 0.0
+        f = make_linear_rhs()
+        while t < 1.0 - 1e-12:
+            res = stepper.step(t, f, y, key=None)
+            y, t = res.y, t + res.dt_used
+        errs.append(abs(float(y[0]) - np.exp(-1.0)))
+    # halving dt should reduce the error ~4x (2nd order)
+    assert errs[1] < errs[0] / 3.0
+
+
+def test_fixed_euler_first_order():
+    errs = []
+    for dt in (0.1, 0.05):
+        stepper = FixedStepper(timeStep=dt, maxStep=dt, increase_fac=1.0,
+                               mode="Euler")
+        y = jnp.array([1.0])
+        t = 0.0
+        f = make_linear_rhs()
+        while t < 1.0 - 1e-12:
+            res = stepper.step(t, f, y, key=None)
+            y, t = res.y, t + res.dt_used
+        errs.append(abs(float(y[0]) - np.exp(-1.0)))
+    assert errs[1] < errs[0] / 1.7
+
+
+def test_dt_ramp():
+    """dt <- min(dt * increase_fac, maxStep) (stepper.py:131)."""
+    stepper = FixedStepper(timeStep=1e-7, maxStep=1e-2, increase_fac=1.3)
+    f = make_linear_rhs()
+    y = jnp.array([1.0])
+    dts = []
+    for _ in range(50):
+        res = stepper.step(0.0, f, y, key=None)
+        dts.append(res.dt_used)
+    np.testing.assert_allclose(dts[0], 1.3e-7, rtol=1e-12)
+    assert dts[-1] == 1e-2
+    assert all(b >= a for a, b in zip(dts, dts[1:]))
+
+
+def test_adaptive_heun_converges_and_adapts():
+    def norm_fn(v, S):
+        return float(jnp.linalg.norm(v))
+
+    stepper = AdaptiveHeun(timeStep=0.5, tol=1e-6, maxStep=1.0)
+    f = make_linear_rhs(lam=-2.0)
+    y = jnp.array([1.0])
+    t = 0.0
+    while t < 1.0 - 1e-9:
+        res = stepper.step(t, f, y, key=None, normFunction=norm_fn)
+        y, t = res.y, t + res.dt_used
+    # adaptive result should be accurate to much better than the tolerance scale
+    assert abs(float(y[0]) - np.exp(-2.0 * t)) < 1e-4
+    # initial dt=0.5 must have been rejected/shrunk at least once
+    assert stepper.dt != 0.5

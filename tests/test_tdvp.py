@@ -1,0 +1,154 @@
+"""TDVP core tests: solver correctness on an analytically tractable case,
+direct vs chunked statistics, device vs host eigensolve, SNR plumbing.
+
+Analytic oracle: Gaussian diffusion. For p_theta = N(0, Sigma(theta)) under
+dp/dt = D lap p, the exact parameter flow gives dSigma/dt = 2 D I, so the
+TDVP update applied to the model must change the model covariance at rate
+~2D. This pins down the entire sample -> Eloc -> Gram/force -> solve chain.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmc_pde_tpu.models import flow, latent
+from vmc_pde_tpu.models.state import VarState
+from vmc_pde_tpu.ops import evolution
+from vmc_pde_tpu.sampling.sampler import Sampler
+from vmc_pde_tpu.solver.tdvp import TDVP, TDVPConfig
+from vmc_pde_tpu.utils.dtypes import Precision
+
+
+def make_problem(ctx, dim=2, n=4096, latent_name="Gauss", out_scale=1e-5,
+                 cfg=TDVPConfig(), D=1.0, prec=None):
+    prec = prec or Precision.f64_everywhere()
+    fl, params = flow.build_flow(1, dim=dim, depth=4, out_scale=out_scale,
+                                 latent_name=latent_name, dtype=prec.compute)
+    s = Sampler(dim=dim, ctx=ctx, name=latent_name, dtype=prec.compute)
+    st = VarState(fl, params, sampler=s, ctx=ctx, precision=prec)
+    eq = evolution.Diffusion(D=D)
+    tdvp = TDVP(st, eq, cfg, n_samples=n, n_samples_obs=n, precision=prec)
+    return st, tdvp
+
+
+def model_covariance(state, n=200_000):
+    x, _ = state.sample(n, key=jax.random.PRNGKey(99))
+    x = np.asarray(x)
+    return np.cov(x.T, ddof=0)
+
+
+def test_update_drives_covariance_at_2D(ctx1):
+    """d/dt Sigma_model along the TDVP update == 2 D I (the exact diffusion
+    flow), validating the full chain end to end."""
+    D = 1.0
+    st, tdvp = make_problem(ctx1, dim=2, n=16384, D=D)
+    theta = st.get_parameters()
+    update, aux = tdvp.rhs(theta, t=0.0, key=jax.random.PRNGKey(0))
+    assert not bool(aux["nan"])
+    assert float(aux["solver_res"]) < 1e-6
+
+    eps = 1e-4
+    st.set_parameters(theta + eps * update)
+    cov1 = model_covariance(st)
+    st.set_parameters(theta)
+    cov0 = model_covariance(st)
+    dcov_dt = (cov1 - cov0) / eps
+    np.testing.assert_allclose(dcov_dt, 2 * D * np.eye(2), atol=0.25)
+
+
+def test_eloc_stats_analytic(ctx1):
+    """At init (identity flow, N(0,I) latent): Eloc = |x|^2 - d with mean 0
+    and variance 2d."""
+    dim = 4
+    st, tdvp = make_problem(ctx1, dim=dim, n=65536, out_scale=0.0)
+    _, aux = tdvp.rhs(st.get_parameters(), 0.0, jax.random.PRNGKey(1))
+    assert abs(float(aux["eloc_mean"])) < 0.15
+    np.testing.assert_allclose(float(aux["eloc_var"]), 2 * dim, rtol=0.1)
+    # entropy of N(0, I_4)
+    np.testing.assert_allclose(
+        float(aux["entropy"]), dim / 2 * np.log(2 * np.pi * np.e), rtol=0.02
+    )
+
+
+def test_chunked_matches_direct(ctx1):
+    """Streaming accumulation must reproduce the direct Gram/force (and the
+    derived update) on identical samples."""
+    cfg_direct = TDVPConfig(compute_snr=True, compute_sexp=True)
+    cfg_chunked = TDVPConfig(compute_snr=True, compute_sexp=True,
+                             chunk_size=512)
+    st, t_direct = make_problem(ctx1, dim=2, n=2048, cfg=cfg_direct)
+    _, t_chunked = make_problem(ctx1, dim=2, n=2048, cfg=cfg_chunked)
+
+    key = jax.random.PRNGKey(3)
+    theta = st.get_parameters()
+    u1, a1 = t_direct.rhs(theta, 0.0, key)
+    u2, a2 = t_chunked.rhs(theta, 0.0, key)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a1["ev"]), np.asarray(a2["ev"]),
+                               rtol=1e-6, atol=1e-12)
+    # Per-mode SNR is only well-defined for resolved eigenmodes; noise modes
+    # (|ev/ev_max| < ~eps) have freely-rotating eigenvectors.
+    ev = np.asarray(a1["ev"])
+    mask = np.abs(ev / ev[-1]) > 1e-8
+    np.testing.assert_allclose(np.asarray(a1["snr"])[mask],
+                               np.asarray(a2["snr"])[mask],
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(a1["SExp"]),
+                               np.asarray(a2["SExp"]),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_host_solve_matches_device(ctx1):
+    cfg_dev = TDVPConfig(solve_on_device=True)
+    cfg_host = TDVPConfig(solve_on_device=False)
+    st, t_dev = make_problem(ctx1, dim=2, n=2048, cfg=cfg_dev)
+    _, t_host = make_problem(ctx1, dim=2, n=2048, cfg=cfg_host)
+    key = jax.random.PRNGKey(4)
+    theta = st.get_parameters()
+    u1, a1 = t_dev.rhs(theta, 0.0, key)
+    u2, a2 = t_host.rhs(theta, 0.0, key)
+    # jnp.linalg.eigh and np.linalg.eigh may resolve noise eigenmodes
+    # differently; the physical update must agree.
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(a1["solver_res"]),
+                               float(a2["solver_res"]), atol=1e-8)
+
+
+def test_snr_regularization_reduces_update_norm(ctx1):
+    cfg_plain = TDVPConfig(use_snr=False)
+    cfg_snr = TDVPConfig(use_snr=True, snr_tol=4.0)
+    st, t_plain = make_problem(ctx1, dim=2, n=1024, cfg=cfg_plain)
+    _, t_snr = make_problem(ctx1, dim=2, n=1024, cfg=cfg_snr)
+    key = jax.random.PRNGKey(5)
+    theta = st.get_parameters()
+    u1, _ = t_plain.rhs(theta, 0.0, key)
+    u2, _ = t_snr.rhs(theta, 0.0, key)
+    assert float(jnp.linalg.norm(u2)) <= float(jnp.linalg.norm(u1)) + 1e-12
+
+
+def test_observable_budget_resampling(ctx1):
+    """n_obs > n_tdvp draws a separate observable batch (tdvp.py:130-134)."""
+    prec = Precision.f64_everywhere()
+    fl, params = flow.build_flow(1, dim=2, depth=2, dtype=prec.compute)
+    s = Sampler(dim=2, ctx=ctx1, name="Gauss", dtype=prec.compute)
+    st = VarState(fl, params, sampler=s, ctx=ctx1, precision=prec)
+    tdvp = TDVP(st, evolution.Diffusion(), TDVPConfig(integrals=True),
+                n_samples=512, n_samples_obs=4096, precision=prec)
+    _, aux = tdvp.rhs(st.get_parameters(), 0.0, jax.random.PRNGKey(6))
+    # 2D standard normal: P(|x| < r) = 1 - exp(-r^2/2); integral keys exist
+    assert "integral_1.0sigma" in aux and "integral_0.1sigma" in aux
+    r = np.sqrt(10.0)
+    expected = 1 - np.exp(-(r**2) / 2)
+    np.testing.assert_allclose(float(aux["integral_1.0sigma"]), expected,
+                               rtol=0.1)
+
+
+def test_nan_flag(ctx1):
+    st, tdvp = make_problem(ctx1, dim=2, n=256)
+    theta = st.get_parameters()
+    bad = jnp.asarray(theta).at[0].set(jnp.nan)
+    _, aux = tdvp.rhs(bad, 0.0, jax.random.PRNGKey(7))
+    assert bool(aux["nan"])

@@ -1,0 +1,214 @@
+"""Experiment driver: wires sampler -> state -> TDVP -> stepper and runs the
+time evolution, recording the reference-compatible infos schema.
+
+Parity with vmc_fluids/main.py:69-211 (wiring, time loop, per-step logging,
+periodic 2D normalization check, HDF5 dump) with the reference's
+manual-checklist knobs handled by RunConfig presets and real parameter
+checkpointing added (orbax/pickle; the reference only persisted diagnostics,
+SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RunConfig, latent_for_sampler
+from .models.flow import build_flow
+from .models.state import VarState
+from .ops.evolution import make_equation
+from .parallel.mesh import ParallelCtx, is_coordinator
+from .sampling.sampler import Sampler
+from .solver.steppers import AdaptiveHeun, FixedStepper
+from .solver.tdvp import TDVP, TDVPConfig
+from .utils import dtypes
+from .utils.grid import Grid
+from .utils.infos import InfoRecorder, store_infos
+from .utils.timings import Timings
+
+
+def build_problem(cfg: RunConfig):
+    """Construct (state, tdvp, stepper, equation, grid) from a RunConfig."""
+    precision = dtypes.resolve(cfg.precision)
+    ctx = ParallelCtx.create(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
+
+    sampler = Sampler(
+        dim=cfg.dim,
+        ctx=ctx,
+        name=cfg.latent_name,
+        n_chains=cfg.n_chains,
+        mcmc_info={"offset": np.asarray(cfg.offset), "bound": cfg.mcmc_bound},
+        dtype=precision.compute,
+    )
+
+    flow, params = build_flow(
+        cfg.seed,
+        cfg.dim,
+        depth=cfg.depth,
+        hidden=cfg.hidden_resolved(),
+        variant=cfg.variant,
+        global_affine=cfg.global_affine,
+        latent_name=latent_for_sampler(cfg),
+        offset=cfg.offset,
+        alpha=cfg.alpha,
+        out_scale=cfg.init_scale,
+        dtype=precision.compute,
+    )
+    state = VarState(
+        flow, params, sampler=sampler, ctx=ctx, precision=precision,
+        sample_key=cfg.sample_seed,
+    )
+
+    equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
+
+    tdvp_cfg = TDVPConfig(
+        use_snr=cfg.use_snr,
+        snr_tol=cfg.snr_tol,
+        svd_tol=cfg.svd_tol,
+        diagonal_shift=cfg.diagonal_shift,
+        compute_sexp=(cfg.stepper == "adaptive_heun"),
+        solve_on_device=cfg.solve_on_device,
+        chunk_size=cfg.chunk_size,
+        integrals=cfg.integrals,
+    )
+    tdvp = TDVP(
+        state, equation, tdvp_cfg,
+        n_samples=cfg.n_samples_tdvp, n_samples_obs=cfg.n_samples_obs,
+        precision=precision,
+    )
+
+    if cfg.stepper == "adaptive_heun":
+        stepper = AdaptiveHeun(timeStep=cfg.dt0, tol=cfg.tol, maxStep=cfg.max_step)
+    elif cfg.stepper == "fixed_euler":
+        stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
+                               increase_fac=cfg.increase_fac, mode="Euler")
+    else:
+        stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
+                               increase_fac=cfg.increase_fac, mode="Heun")
+
+    grid = None
+    if cfg.dim == 2:
+        grid = Grid(np.ones(2) * cfg.grid_bound, cfg.grid_points, sym=cfg.sym_grid)
+
+    return state, tdvp, stepper, equation, grid
+
+
+def s_metric_norm(v, S):
+    """Adaptive-stepper error metric (main.py:24-26)."""
+    if S is None:
+        return float(jnp.linalg.norm(v))
+    v = jnp.asarray(v, dtype=jnp.asarray(S).dtype)
+    return float(v @ S @ v)
+
+
+def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
+    """Run the time evolution; returns (state, InfoRecorder)."""
+    state, tdvp, stepper, equation, grid = build_problem(cfg)
+    timings = Timings()
+    rec = InfoRecorder()
+
+    wdir = cfg.workdir
+    if wdir and is_coordinator():
+        os.makedirs(wdir, exist_ok=True)
+
+    def f(theta, t, key, intStep=0):
+        with timings.section("tdvp_rhs"):
+            update, aux = tdvp.rhs(theta, t, key, intStep=intStep)
+            jax.block_until_ready(update)
+        if bool(aux["nan"]):
+            raise FloatingPointError(
+                f"NaN encountered in TDVP update at t={t}"
+            )
+        return update, aux
+
+    theta = state.get_parameters()
+    t = 0.0
+    dt = stepper.dt
+    n_step = 0
+    key = jax.random.PRNGKey(cfg.sample_seed + 7)
+    plotted = set()
+
+    if grid is not None and cfg.verbose:
+        print("Initial grid integral:", float(state.integrate(grid)))
+
+    while t < cfg.t_end + dt and n_step < max_steps:
+        t0 = time.perf_counter()
+        key, step_key = jax.random.split(key)
+        res = stepper.step(t, f, theta, step_key,
+                           normFunction=s_metric_norm)
+        theta, dt, info = res.y, res.dt_used, res.info
+        state.set_parameters(theta)
+
+        rec.append("times", t)
+        rec.append_dict({k: v for k, v in info.items()
+                         if not isinstance(v, dict)})
+        rec.append("dist_params", np.asarray(
+            state.params["latent"]["dist_params"]))
+
+        if cfg.verbose:
+            print(f"t = {t:.4f}, dt = {dt:e}  "
+                  f"[{time.perf_counter() - t0:.3f}s]")
+            print(f"\t > Solver Residual = {float(info['solver_res']):.3e}")
+            print(f"\t > TDVP Error = {float(info['tdvp_error']):.3e}")
+            print(f"\t > Entropy = {float(info['entropy']):.6f}")
+
+        n = round(t / cfg.plot_every)
+        if (grid is not None and abs(t - n * cfg.plot_every) < dt
+                and n not in plotted):
+            plotted.add(n)
+            integral = float(state.integrate(grid))
+            rec.append("grid_integral_t", t)
+            rec.append("grid_integral", integral)
+            if cfg.verbose:
+                print("Grid integral:", integral)
+
+        if cfg.checkpoint_every and n_step % cfg.checkpoint_every == 0 and wdir:
+            from .utils.checkpoint import save_checkpoint
+            save_checkpoint(wdir, n_step, t, theta, stepper.dt)
+
+        for cb in callbacks:
+            cb(n_step, t, state, info)
+
+        t += dt
+        n_step += 1
+
+    if wdir and is_coordinator():
+        store_infos(wdir, rec)
+    return state, rec
+
+
+def main(argv=None):
+    import argparse
+
+    from .config import PRESETS, preset
+
+    p = argparse.ArgumentParser(description="TPU-native VMC-PDE solver")
+    p.add_argument("mode", choices=sorted(PRESETS), nargs="?", default="mwe")
+    p.add_argument("--t-end", type=float, default=None)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--workdir", type=str, default=None)
+    p.add_argument("--precision", type=str, default=None)
+    p.add_argument("--max-steps", type=int, default=10**9)
+    args = p.parse_args(argv)
+
+    overrides = {}
+    if args.t_end is not None:
+        overrides["t_end"] = args.t_end
+    if args.samples is not None:
+        overrides["n_samples_tdvp"] = args.samples
+        overrides["n_samples_obs"] = args.samples
+    if args.workdir is not None:
+        overrides["workdir"] = args.workdir
+    if args.precision is not None:
+        overrides["precision"] = args.precision
+
+    cfg = preset(args.mode, **overrides)
+    run(cfg, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

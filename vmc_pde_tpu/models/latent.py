@@ -1,0 +1,125 @@
+"""Latent base distributions: multivariate Gaussian and Student-t with a
+learnable Cholesky-parametrized covariance, mean, and (Student-t) learnable
+degrees of freedom.
+
+Parity with the reference's latent pdfs (vmc_fluids/net.py:10-36) and the
+covariance construction (util.py:21-26): the covariance is S = L @ L.T where
+L is upper-triangular with strictly-upper entries from the packed parameter
+vector and diag(L) = exp(L_diag).
+
+TPU-native deltas vs the reference:
+- log-densities use a triangular solve against L instead of materializing
+  inv(S) and det(S) (net.py:19-20 computes jnp.linalg.inv + det per sample);
+  log det S = 2 * sum(L_diag) is free.
+- sampling draws z = mu + L @ eps directly from the stored factor instead of
+  re-factorizing S inside jax.random.multivariate_normal (sampler.py:25-26).
+- the Student-t chi^2 draw is a keyed, device-resident jax.random.chisquare
+  (fixes quirk Q4: sampler.py:32 used the unseeded NumPy global RNG).
+- the Student-t log-density includes the -1/2 log det S normalization term
+  that the reference omits (net.py:35-36, quirk Q8 in our survey); the term
+  is constant in x so it does not alter the TDVP dynamics (centered
+  gradients), but it is required for the integral/entropy diagnostics to be
+  meaningful once S deviates from the identity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+NAMES = ("Gauss", "Student_t")
+
+
+def n_extra_params(name: str) -> int:
+    """Number of extra scalar distribution parameters (net.py:197-198)."""
+    return {"Gauss": 0, "Student_t": 1}[name]
+
+
+def init_params(dim: int, name: str, dtype=jnp.float32):
+    """Zero-initialized latent parameters (net.py:201-204): S = I, mu = 0,
+    nu_raw = 0 (=> nu = 2 for Student-t)."""
+    return {
+        "L": jnp.zeros(((dim * dim - dim) // 2,), dtype=dtype),
+        "L_diag": jnp.zeros((dim,), dtype=dtype),
+        "mu": jnp.zeros((dim,), dtype=dtype),
+        "dist_params": jnp.zeros((n_extra_params(name),), dtype=dtype),
+    }
+
+
+def chol_factor(latent_params, dim: int):
+    """Upper-triangular factor L with S = L @ L.T (util.py:21-26)."""
+    L = jnp.zeros((dim, dim), dtype=latent_params["L_diag"].dtype)
+    iu = np.triu_indices(dim, k=1)
+    L = L.at[iu].set(latent_params["L"])
+    return L + jnp.diag(jnp.exp(latent_params["L_diag"]))
+
+
+def cov_matrix(latent_params, dim: int):
+    L = chol_factor(latent_params, dim)
+    return L @ L.T
+
+
+def log_det_cov(latent_params):
+    return 2.0 * jnp.sum(latent_params["L_diag"])
+
+
+def nu_value(latent_params):
+    """Student-t degrees of freedom nu = exp(theta) + 1 (net.py:32)."""
+    return jnp.exp(latent_params["dist_params"][0]) + 1.0
+
+
+def _mahalanobis_sq(latent_params, dim, x):
+    """x^T S^{-1} x via triangular solve (x already mean-shifted)."""
+    L = chol_factor(latent_params, dim)
+    y = jax.scipy.linalg.solve_triangular(L, x, lower=False)
+    return jnp.sum(y * y)
+
+
+def gauss_log_prob(latent_params, dim: int, x):
+    """log N(x; mu, S) for a single x of shape (dim,) (net.py:10-20)."""
+    xc = x - latent_params["mu"]
+    quad = _mahalanobis_sq(latent_params, dim, xc)
+    return -0.5 * (
+        dim * jnp.log(2.0 * jnp.pi) + log_det_cov(latent_params) + quad
+    )
+
+
+def student_t_log_prob(latent_params, dim: int, x):
+    """log t_nu(x; mu, S) for a single x (net.py:23-36 + Q8 normalization)."""
+    nu = nu_value(latent_params)
+    xc = x - latent_params["mu"]
+    quad = _mahalanobis_sq(latent_params, dim, xc)
+    return (
+        gammaln((nu + dim) / 2.0)
+        - gammaln(nu / 2.0)
+        - 0.5 * dim * jnp.log(nu * jnp.pi)
+        - 0.5 * log_det_cov(latent_params)
+        - 0.5 * (nu + dim) * jnp.log1p(quad / nu)
+    )
+
+
+def log_prob(name: str, latent_params, dim: int, x):
+    if name == "Gauss":
+        return gauss_log_prob(latent_params, dim, x)
+    if name == "Student_t":
+        return student_t_log_prob(latent_params, dim, x)
+    raise ValueError(f"unknown latent distribution {name!r}")
+
+
+def sample(name: str, key, latent_params, dim: int, n: int, dtype=jnp.float32):
+    """Draw n latent samples, shape (n, dim). Keyed and device-resident.
+
+    Gauss:      z = mu + L eps                      (sampler.py:25-26)
+    Student_t:  z = mu + L eps * sqrt(nu / chi2_nu) (sampler.py:29-34, keyed)
+    """
+    k_eps, k_chi = jax.random.split(key)
+    L = chol_factor(latent_params, dim).astype(dtype)
+    eps = jax.random.normal(k_eps, (n, dim), dtype=dtype)
+    z = eps @ L.T
+    if name == "Student_t":
+        nu = nu_value(latent_params).astype(dtype)
+        u = jax.random.chisquare(k_chi, nu, shape=(n,), dtype=dtype)
+        z = z * jnp.sqrt(nu / u)[:, None]
+    return z + latent_params["mu"].astype(dtype)

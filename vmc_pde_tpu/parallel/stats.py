@@ -1,0 +1,63 @@
+"""Global sample statistics, TPU-native.
+
+Replaces the reference's mpi_wrapper.py global_mean / global_variance /
+global_covariance (mpi_wrapper.py:129-274). The reference pattern is
+"psum over the local pmap axis -> host transfer -> MPI.Allreduce -> device
+put"; here every statistic is an ordinary jnp reduction over a sample axis
+that is sharded over the mesh, so XLA lowers it to on-fabric collectives
+inside the enclosing jit. Under `shard_map` the same functions work with an
+explicit axis name.
+
+Conventions (matching the reference semantics):
+- ``mean``/``variance`` reduce over leading sample axis (axis 0).
+- ``second_moment_matrix(X) = E[X^T X]`` -- what mpi_wrapper.global_covariance
+  actually computes (mpi_wrapper.py:21-25, 248-274): mean of per-sample outer
+  products, *without* mean subtraction. The TDVP core feeds it pre-centered
+  data, making it a covariance.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mean(data, axis=0):
+    """E[X] over the (sharded) sample axis. (mpi_wrapper.py:166-193)"""
+    return jnp.mean(data, axis=axis)
+
+
+def variance(data, axis=0):
+    """E[|X - E X|^2] over the sample axis (biased, like the reference:
+    mpi_wrapper.py:196-245)."""
+    m = jnp.mean(data, axis=axis, keepdims=True)
+    d = data - m
+    return jnp.mean(jnp.real(jnp.conj(d) * d), axis=axis)
+
+
+def second_moment_matrix(data, preferred_dtype=jnp.float32):
+    """E[X^T X] for data of shape (N, P): the Gram accumulation.
+
+    This is the single large contraction of the TDVP step; on TPU it is an
+    MXU matmul contracting the sample axis. When the sample axis is sharded
+    over ``dp`` (and optionally P over ``tp``), XLA emits a reduce-scatter /
+    all-reduce over ICI -- the TPU-native replacement for the reference's
+    host Allreduce of the N_params^2 message (mpi_wrapper.py:150-163)."""
+    n = data.shape[0]
+    return jnp.matmul(
+        data.T.conj(), data, preferred_element_type=preferred_dtype
+    ) / n
+
+
+def weighted_second_moment_matrix(data, w, preferred_dtype=jnp.float32):
+    """E[w_i X_i X_i^T] with per-sample weights w of shape (N,)."""
+    n = data.shape[0]
+    wd = data * w[:, None]
+    return jnp.matmul(
+        data.T.conj(), wd, preferred_element_type=preferred_dtype
+    ) / n
+
+
+def covariance_matrix(data, preferred_dtype=jnp.float32):
+    """True covariance E[(X-m)^T (X-m)] in one pass (centering fused)."""
+    m = jnp.mean(data, axis=0, keepdims=True)
+    return second_moment_matrix(data - m, preferred_dtype=preferred_dtype)

@@ -1,0 +1,91 @@
+"""Supervised pre-training of the flow by maximum likelihood (cross-entropy)
+on data samples.
+
+Parity with vmc_fluids/train.py:16-67 (synthetic data generators with analytic
+targets + adam fitting loop), modernized: optax replaces the removed
+jax.experimental.optimizers, and the epoch/minibatch loop runs as jitted
+update steps on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def gen_data(size, mode: str = "standard_normal", key: int = 0, std: float = 1.0):
+    """Synthetic datasets with analytic target density (train.py:16-34).
+    ``size`` is (N, dim)."""
+    k = jax.random.PRNGKey(key)
+    dim = size[-1]
+    if mode == "standard_normal":
+        data = std * jax.random.normal(k, shape=size)
+
+        def target_fun(x):
+            return (
+                1.0 / jnp.sqrt(2 * jnp.pi * std**2) ** dim
+                * jnp.exp(-0.5 * jnp.sum(x**2, axis=-1) / std**2)
+            )
+
+        return data, target_fun
+
+    if mode == "normal_superpos":
+        shift = 4.0
+        data = std * jax.random.normal(k, shape=size)
+        data = data.at[::2].add(shift)
+        data = data.at[1::2].add(-shift)
+
+        def target_fun(x):
+            g = 1.0 / jnp.sqrt(2 * jnp.pi * std**2) ** dim
+            return 0.5 * g * (
+                jnp.exp(-0.5 * jnp.sum((x - shift) ** 2, axis=-1) / std**2)
+                + jnp.exp(-0.5 * jnp.sum((x + shift) ** 2, axis=-1) / std**2)
+            )
+
+        return data, target_fun
+
+    raise ValueError(f"unknown data mode {mode!r}")
+
+
+def train(
+    state,
+    data,
+    batchsize: int = 100,
+    epochs: int = 100,
+    key: int = 0,
+    lr: float = 1e-3,
+    verbose: bool = False,
+):
+    """Fit state.flow to ``data`` (N, dim) by minimizing -E[log p]
+    (train.py:37-59). Mutates state.params; returns the per-epoch losses."""
+    flow = state.flow
+    params = state.params
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    rng = jax.random.PRNGKey(key)
+
+    def loss_fn(p, batch):
+        return -jnp.mean(jax.vmap(flow.log_prob, in_axes=(None, 0))(p, batch))
+
+    @jax.jit
+    def update(p, o, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+        upd, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    n = data.shape[0] - data.shape[0] % batchsize
+    losses = []
+    for epoch in range(epochs):
+        rng, k = jax.random.split(rng)
+        perm = jax.random.permutation(k, data.shape[0])[:n]
+        batches = data[perm].reshape(-1, batchsize, data.shape[-1])
+        loss = None
+        for batch in batches:
+            params, opt_state, loss = update(params, opt_state, batch)
+        losses.append(float(loss))
+        if verbose:
+            print(f"epoch {epoch}: loss {losses[-1]:.6f}")
+
+    state.params = params
+    return losses

@@ -1,0 +1,180 @@
+"""Latent-space samplers: exact (Gauss / Student-t) and Metropolis MCMC for
+non-analytic latent distributions (e.g. the fluid paper's cosine bump,
+vmc_fluids/sampler.py:20-22).
+
+Parity with the reference ``Sampler`` (sampler.py:48-111) with the quirks
+fixed (SURVEY.md section 4):
+
+- Q1: the MCMC path referenced an undefined ``self.latent_space_prob`` and
+  was dead code; here the latent log-density is an explicit, injectable
+  callable and the Metropolis path works.
+- Q3: the exact path shares the same budget-rounding logic as the MCMC path
+  (``ParallelCtx.shard_samples``), so sample-count bookkeeping is correct on
+  any mesh.
+- Q4: the Student-t chi^2 draw is keyed and device-resident (latent.py).
+- RNG is threaded functionally: every public entry point takes an explicit
+  PRNG key; a convenience stateful wrapper mirrors the reference API.
+
+The Metropolis chain loop is a ``jax.lax.scan`` over update steps with all
+chains advancing in parallel (sampler.py:88-111); chains are laid out along
+the leading axis and shard over the ``dp`` mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import latent as latent_mod
+from ..parallel.mesh import ParallelCtx
+
+
+def cos_dist_log_prob(x, offset):
+    """The ML-fluid paper's compactly-supported cosine bump
+    (sampler.py:20-22): log[ (1 + cos(pi * min(1, 4|x - offset|))) / 2 ]."""
+    r = jnp.minimum(1.0, 4.0 * jnp.sqrt(jnp.sum((x - offset) ** 2)))
+    return jnp.log(0.5 * (1.0 + jnp.cos(jnp.pi * r)))
+
+
+def radial_proposal(key, n_chains, dim, mcmc_info):
+    """Uniform-in-disk independence proposal (sampler.py:37-45). The
+    reference version is 2D-only; this generalizes to uniform-in-ball for
+    any dim (identical in 2D)."""
+    k_r, k_dir = jax.random.split(key)
+    u = jax.random.uniform(k_r, shape=(n_chains, 1))
+    r = u ** (1.0 / dim) * mcmc_info["bound"]
+    d = jax.random.normal(k_dir, shape=(n_chains, dim))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return r * d + jnp.asarray(mcmc_info["offset"])
+
+
+@dataclasses.dataclass
+class MCSampleInfo:
+    """Acceptance bookkeeping (sampler.py:98-100)."""
+
+    num_proposed: int
+    num_accepted: int
+
+    @property
+    def acceptance_rate(self):
+        return self.num_accepted / max(self.num_proposed, 1)
+
+
+def metropolis_chain(
+    key,
+    init_states,
+    log_prob: Callable,
+    proposer: Callable,
+    n_steps: int,
+    mcmc_info,
+):
+    """Run all chains for n_steps Metropolis updates with independence
+    proposals; returns samples of shape (n_steps * n_chains, dim), the final
+    states, and acceptance counts.
+
+    Because the proposal is uniform on its support, the MH ratio reduces to
+    p(new)/p(old) (sampler.py:95). lax.scan keeps the whole loop on-device.
+    """
+    n_chains, dim = init_states.shape
+
+    def step(carry, _):
+        states, key, n_acc = carry
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        proposals = proposer(k_prop, n_chains, dim, mcmc_info)
+        log_ratio = jax.vmap(log_prob)(proposals) - jax.vmap(log_prob)(states)
+        accept = jax.random.uniform(k_acc, (n_chains,)) < jnp.exp(log_ratio)
+        new_states = jnp.where(accept[:, None], proposals, states)
+        n_acc = n_acc + jnp.sum(accept).astype(n_acc.dtype)
+        return (new_states, key, n_acc), new_states
+
+    (final_states, _, n_accepted), samples = jax.lax.scan(
+        step, (init_states, key, jnp.zeros((), jnp.int32)), None, length=n_steps
+    )
+    samples = samples.reshape(n_steps * n_chains, dim)
+    return samples, final_states, n_accepted
+
+
+@dataclasses.dataclass
+class Sampler:
+    """Latent-space sampler over a device mesh.
+
+    ``name`` selects the path: "Gauss"/"Student_t" sample exactly from the
+    learnable latent distribution; anything else runs Metropolis against
+    ``latent_log_prob`` (default: the cosine bump when name == "cos_dist").
+    """
+
+    dim: int
+    ctx: ParallelCtx
+    name: str = "Gauss"
+    n_chains: int = 30
+    mcmc_info: Optional[dict] = None
+    latent_log_prob: Optional[Callable] = None
+    proposer: Callable = radial_proposal
+    burn_in: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        self.exact = self.name in latent_mod.NAMES
+        if self.mcmc_info is None:
+            self.mcmc_info = {"offset": jnp.zeros(self.dim), "bound": 0.25}
+        if not self.exact and self.latent_log_prob is None:
+            if self.name != "cos_dist":
+                raise ValueError(
+                    f"non-exact latent {self.name!r} needs latent_log_prob"
+                )
+            off = jnp.asarray(self.mcmc_info["offset"])
+            self.latent_log_prob = partial(cos_dist_log_prob, offset=off)
+        self._states = None
+        self._mcmc_jit = None
+        self.last_info: Optional[MCSampleInfo] = None
+
+    # ------------------------------------------------------------------
+    def rounded_budget(self, n: int) -> int:
+        mult = 1 if self.exact else self.n_chains
+        return self.ctx.shard_samples(n, multiple_of=mult)
+
+    def sample(self, key, flow, params, n: int):
+        """Draw >= n latent samples (rounded to the mesh/chain layout);
+        returns (samples, n_total). Samples are sharded over ``dp``."""
+        n_total = self.rounded_budget(n)
+        if self.exact:
+            z = flow.latent_sample(key, params, n_total, dtype=self.dtype)
+        else:
+            z = self._sample_mcmc(key, n_total)
+        return jax.device_put(
+            z, self.ctx.sharding(self.ctx.samples_spec)
+        ), n_total
+
+    # ------------------------------------------------------------------
+    def _init_states(self, key):
+        states = self.proposer(key, self.n_chains, self.dim, self.mcmc_info)
+        return states.astype(self.dtype)
+
+    def _sample_mcmc(self, key, n_total: int):
+        k_init, k_run = jax.random.split(key)
+        if self._states is None:
+            self._states = self._init_states(k_init)
+        n_steps = n_total // self.n_chains + self.burn_in
+        if self._mcmc_jit is None:
+            self._mcmc_jit = jax.jit(
+                partial(
+                    metropolis_chain,
+                    log_prob=self.latent_log_prob,
+                    proposer=self.proposer,
+                    mcmc_info=self.mcmc_info,
+                ),
+                static_argnames=("n_steps",),
+            )
+        samples, self._states, n_acc = self._mcmc_jit(
+            k_run, self._states, n_steps=n_steps
+        )
+        if self.burn_in:
+            samples = samples[self.burn_in * self.n_chains:]
+        self.last_info = MCSampleInfo(
+            num_proposed=n_steps * self.n_chains, num_accepted=int(n_acc)
+        )
+        return samples

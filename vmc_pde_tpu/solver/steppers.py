@@ -1,0 +1,102 @@
+"""Time integrators for the TDVP parameter flow.
+
+Parity with vmc_fluids/stepper.py: ``AdaptiveHeun`` (embedded 2nd-order Heun,
+full step vs two half steps, error measured in the S-metric, dt-scale clamp
+[0.2, 2] * 0.9 * fe^(1/3), maxStep cap -- stepper.py:6-91) and
+``FixedStepper`` (Heun or Euler with geometric dt ramp
+dt <- min(dt * increase_fac, maxStep) -- stepper.py:94-145).
+
+The right-hand side ``f`` is the TDVP.rhs callable: f(theta, t, key, intStep)
+-> (dtheta, aux). Integration arithmetic happens on the master-precision flat
+parameter vector (f64): the reference gets this for free from global x64
+(main.py:2); with an f32 compute path it is essential because dt ramps from
+1e-7 (main.py:108). RNG keys are threaded explicitly and decorrelated per
+internal stage via intStep (fixing the reference's implicit reliance on a
+mutable sampler key).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class StepResult:
+    y: jnp.ndarray
+    dt_used: float
+    info: dict
+
+
+class FixedStepper:
+    """Heun or Euler with a geometric dt ramp (stepper.py:94-145)."""
+
+    def __init__(self, timeStep=1e-3, maxStep=1e-2, increase_fac=1.3,
+                 mode="Heun"):
+        self.dt = float(timeStep)
+        self.maxStep = float(maxStep)
+        self.increase_fac = float(increase_fac)
+        if mode not in ("Heun", "Euler"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
+
+    def step(self, t, f, y, key, normFunction=None):
+        self.dt = min(self.dt * self.increase_fac, self.maxStep)
+        dt = self.dt
+        if self.mode == "Heun":
+            k0, _ = f(y, t, key, intStep=0)
+            k1, info = f(y + dt * k0, t + dt, key, intStep=1)
+            return StepResult(y + 0.5 * dt * (k0 + k1), dt, info)
+        k0, info = f(y, t, key, intStep=0)
+        return StepResult(y + dt * k0, dt, info)
+
+
+class AdaptiveHeun:
+    """Embedded adaptive Heun (stepper.py:6-91).
+
+    The integration error is ||dy1 - dy0|| in the ``normFunction`` metric; the
+    reference passes norm_fun(v, S) = v S v with S = f.SExp (main.py:24-26,
+    stepper.py:71). ``f`` must expose ``.SExp`` after a call (TDVP does when
+    TDVPConfig.compute_sexp is set).
+    """
+
+    def __init__(self, timeStep=1e-3, tol=1e-8, maxStep=1.0):
+        self.dt = float(timeStep)
+        self.tolerance = float(tol)
+        self.maxStep = float(maxStep)
+
+    def step(self, t, f, y, key, normFunction=None):
+        if normFunction is None:
+            normFunction = lambda v, S: jnp.linalg.norm(v)
+
+        fe = 0.5
+        dt = self.dt
+        y0 = y
+        attempt = 0
+        while fe < 1.0:
+            k0, info = f(y0, t, key, intStep=5 * attempt + 0)
+            y1 = y0 + dt * k0
+            k1, _ = f(y1, t + dt, key, intStep=5 * attempt + 1)
+            dy0 = 0.5 * dt * (k0 + k1)
+
+            # two half steps
+            yh = y0 + 0.5 * dt * k0
+            k10, _ = f(yh, t + 0.5 * dt, key, intStep=5 * attempt + 2)
+            dy1 = 0.25 * dt * (k0 + k10)
+            y2 = y0 + dy1
+            k01, _ = f(y2, t + 0.5 * dt, key, intStep=5 * attempt + 3)
+            y3 = y2 + 0.5 * dt * k01
+            k11, _ = f(y3, t + dt, key, intStep=5 * attempt + 4)
+            dy1 = dy1 + 0.25 * dt * (k01 + k11)
+
+            err = normFunction(dy1 - dy0, getattr(f, "SExp", None))
+            fe = self.tolerance / float(err)
+
+            scale = max(0.2, min(2.0, 0.9 * fe ** (1.0 / 3.0)))
+            real_dt = dt
+            dt = min(dt * scale, self.maxStep)
+            attempt += 1
+
+        self.dt = dt
+        return StepResult(y0 + dy1, real_dt, info)

@@ -1,0 +1,552 @@
+"""TDVP (time-dependent variational principle / stochastic reconfiguration)
+core: assembles and solves S dtheta = F from Monte-Carlo estimates.
+
+Parity with vmc_fluids/tdvp.py:20-164 -- centered force/Gram assembly
+(tdvp.py:36-52), eigenbasis transform + per-mode SNR (tdvp.py:57-71), hard
+eigenvalue cutoff |ev/ev_max| > 1e-14 plus soft sixth-power regularizers on
+svdTol (and optionally snrTol) (tdvp.py:82-91), solver residual and
+integrated TDVP error diagnostics (tdvp.py:93-94), and the per-step
+observables (tdvp.py:143-162).
+
+TPU-native architecture (SURVEY.md section 7), the big delta vs the
+reference:
+
+- ONE jitted, mesh-sharded program per right-hand-side evaluation: latent
+  sampling -> inverse-flow push-forward -> per-sample (logp, score, Hessian
+  block, O_k row) -> Gram/force contraction -> regularized eigensolve ->
+  parameter update. The reference crosses host<->device dozens of times per
+  step (pmap closures, host eigh, MPI Allreduce); here the only host traffic
+  is the O(1) update vector and diagnostics.
+- The Gram matrix S = E[O^T O] and all second moments are MXU matmuls
+  contracting the sharded sample axis; XLA emits the ICI collectives
+  (replacing mpi_wrapper.global_covariance's host Allreduce).
+- Per-sample parameter gradients are taken w.r.t. the flat parameter vector,
+  yielding the (N, P) O-matrix directly in matmul layout.
+- A chunked accumulation mode (``chunk_size``) streams samples through a
+  lax.scan so the O-matrix never fully materializes in HBM -- required for
+  N_samples x N_params beyond HBM capacity. It accumulates weighted second
+  moments shifted by a pilot mean estimate to avoid catastrophic
+  cancellation in f32.
+- The eigensolve runs in ``Precision.solve`` dtype (f64 by default) either
+  on device inside the fused program or on host (numpy), matching the
+  reference's default host path (tdvp.py:57-64).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.state import VarState
+from ..ops import score
+from ..ops.evolution import Equation
+from ..parallel import stats
+from ..utils.dtypes import Precision
+
+
+@dataclasses.dataclass(frozen=True)
+class TDVPConfig:
+    """Solver knobs (tdvp.py:20-26 defaults)."""
+
+    use_snr: bool = False
+    snr_tol: float = 2.0
+    svd_tol: float = 1e-11
+    diagonal_shift: float = 0.0
+    eig_cutoff: float = 1e-14
+    # Floor svd_tol/eig_cutoff at multiples of the compute dtype's epsilon:
+    # the reference tolerances assume f64 statistics; with an f32 compute
+    # path, Gram eigenvalue noise sits at ~eps * ev_max and must be cut.
+    auto_tol_floor: bool = True
+    compute_snr: bool = True      # record per-mode SNR diagnostics
+    compute_sexp: bool = False    # SExp metric for the adaptive stepper norm
+    solve_on_device: bool = True  # False = host numpy f64 eigh (tdvp.py:60-64)
+    chunk_size: int = 0           # >0: stream samples in chunks of this size
+    observables: bool = True
+    integrals: bool = False       # MC sphere integrals (tdvp.py:153-162)
+    integral_T: float = 10.0      # variance scale in the integral check
+
+
+def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
+                       eigh_fn=jnp.linalg.eigh):
+    """Eigendecompose S and apply the reference's regularized pseudo-inverse
+    (tdvp.py:57-91). A = E[Ebar^2 Obar^T Obar] feeds the per-mode SNR.
+    Returns (update, ev, snr, VtF)."""
+    ev, V = eigh_fn(S)
+    VtF = V.T @ F
+
+    ratio = jnp.abs(ev / ev[-1])
+    inv_ev = jnp.where(ratio > cfg.eig_cutoff, 1.0 / ev, 0.0)
+    # Soft sixth-power cutoff. Analytically identical to the reference's
+    # 1/(1 + (tol/r)^6) (tdvp.py:85) but evaluated as a log-space sigmoid:
+    # sigmoid(6 (log r - log tol)). The naive form produces NaN on the TPU's
+    # emulated-f64 pow for near-underflow ratios; the sigmoid form is exact
+    # and finite for r in [0, inf].
+    def soft_cutoff(x, tol):
+        return jax.nn.sigmoid(6.0 * (jnp.log(x) - np.log(tol)))
+
+    regularizer = soft_cutoff(ratio, cfg.svd_tol)
+
+    snr = None
+    if A is not None:
+        AV = A @ V
+        # rho_var >= 0 up to fp noise (variance of rotated EO data).
+        rho_var = jnp.abs(jnp.sum(V * AV, axis=0) - VtF**2)
+        snr = jnp.sqrt(jnp.abs(n_samples * VtF**2 / rho_var))
+        if cfg.use_snr:
+            regularizer = regularizer * soft_cutoff(snr, cfg.snr_tol)
+
+    update = V @ (inv_ev * regularizer * VtF)
+    return update, ev, snr, VtF
+
+
+def _ball_volume(dim: int, radius: float) -> float:
+    return math.pi ** (dim / 2) / math.gamma(dim / 2 + 1) * radius**dim
+
+
+class TDVP:
+    """Fused TDVP right-hand side over a device mesh.
+
+    ``rhs(theta_master, t, key)`` returns (dtheta_master, aux); steppers
+    integrate it in time. Exposes the reference's diagnostics after each call
+    (``ev``, ``snr``, ``solverResidual``, ``tdvp_error``, ``SExp``).
+    """
+
+    def __init__(
+        self,
+        state: VarState,
+        equation: Equation,
+        cfg: TDVPConfig = TDVPConfig(),
+        n_samples: int = 10000,
+        n_samples_obs: Optional[int] = None,
+        precision: Optional[Precision] = None,
+    ):
+        self.state = state
+        self.flow = state.flow
+        self.equation = equation
+        self.cfg = cfg
+        self.ctx = state.ctx
+        self.precision = precision or state.precision
+        self.sampler = state.sampler
+
+        self.n_samples = self.sampler.rounded_budget(n_samples)
+        self.n_samples_obs = (
+            self.sampler.rounded_budget(n_samples_obs)
+            if n_samples_obs is not None
+            else self.n_samples
+        )
+
+        if cfg.auto_tol_floor:
+            eps = float(jnp.finfo(self.precision.compute).eps)
+            cfg = dataclasses.replace(
+                cfg,
+                svd_tol=max(cfg.svd_tol, 64.0 * eps),
+                eig_cutoff=max(cfg.eig_cutoff, 8.0 * eps),
+            )
+            self.cfg = cfg
+
+        flat, unravel = score.flat_param_view(state.params)
+        self.n_params = int(flat.size)
+        self._unravel = unravel
+        self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
+        self._hess_idx = equation.hessian_coords(self.flow.dim)
+
+        # Diagnostics of the latest call (tdvp.py attribute contract).
+        self.ev = None
+        self.snr = None
+        self.solverResidual = None
+        self.tdvp_error = None
+        self.SExp = None
+        self.ElocMean = None
+        self.ElocVar = None
+
+        self._fused = jax.jit(self._rhs_impl, static_argnames=("n", "n_obs"))
+
+    # ------------------------------------------------------------------
+    # Per-sample physics: logp, score, O-row, Hessian block, Eloc.
+    # ------------------------------------------------------------------
+    def _per_sample_batch(self, theta_c, x, t):
+        """x: (n, d) -> (logp (n,), Eloc (n,), O (n, P))."""
+        f = self._log_prob_flat
+        logp, g, O = jax.vmap(
+            partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
+        )(theta_c, x)
+        hess = None
+        if self._hess_idx is not None:
+            hess = jax.vmap(
+                partial(score.hessian_block, f, idx=tuple(self._hess_idx)),
+                in_axes=(None, 0),
+            )(theta_c, x)
+        eloc = self.equation.eloc(x, g, hess, t)
+        return logp, eloc, O
+
+    # ------------------------------------------------------------------
+    # Statistics assembly (tdvp.py:36-52 + SNR second moment).
+    # ------------------------------------------------------------------
+    def _direct_stats(self, theta_c, t, x):
+        """Direct path: materialize O once, center, contract on the MXU."""
+        cfg = self.cfg
+        n = x.shape[0]
+        logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        O = self.ctx.constrain(O, self.ctx.osample_spec)
+
+        eloc_mean = stats.mean(eloc)
+        eloc_abs_mean = stats.mean(jnp.abs(eloc))
+        eloc_var = stats.variance(eloc)
+        e_c = eloc - eloc_mean
+        o_mean = stats.mean(O, axis=0)
+        O_c = O - o_mean
+
+        cdt = self.precision.compute
+        F0 = (e_c @ O_c) / n
+        S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt)
+        S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
+
+        A = None
+        if cfg.compute_snr or cfg.use_snr:
+            A = stats.weighted_second_moment_matrix(O_c, e_c**2, cdt)
+        SExp = None
+        if cfg.compute_sexp:
+            SExp = stats.weighted_second_moment_matrix(O_c, logp**2, cdt)
+
+        return dict(
+            logp=logp,
+            eloc=eloc,
+            eloc_mean=eloc_mean,
+            eloc_abs_mean=eloc_abs_mean,
+            eloc_var=eloc_var,
+            eloc_sq_mean=stats.mean(eloc**2),
+            F0=F0,
+            S0=S0,
+            A=A,
+            SExp=SExp,
+        )
+
+    def _chunked_stats(self, theta_c, t, x):
+        """Streaming path: lax.scan over sample chunks; O never materializes
+        beyond one chunk. Accumulates pilot-shifted weighted second moments
+        so f32 accumulation stays well conditioned."""
+        cfg = self.cfg
+        n, d = x.shape
+        c = cfg.chunk_size
+        assert n % c == 0, "sample budget must divide chunk_size"
+        n_chunks = n // c
+        P = self.n_params
+        cdt = self.precision.compute
+
+        # Pilot estimates from the first chunk: shift constants only --
+        # exactness does not depend on them.
+        logp0, eloc0, O0 = self._per_sample_batch(theta_c, x[:c], t)
+        c_O = jax.lax.stop_gradient(jnp.mean(O0, axis=0))
+        c_E = jax.lax.stop_gradient(jnp.mean(eloc0))
+
+        want_A = cfg.compute_snr or cfg.use_snr
+
+        def chunk_fn(carry, xc):
+            logp, eloc, O = self._per_sample_batch(theta_c, xc, t)
+            Os = O - c_O  # shifted
+            es = eloc - c_E
+            upd = dict(
+                sum_O=carry["sum_O"] + jnp.sum(Os, axis=0),
+                sum_E=carry["sum_E"] + jnp.sum(es),
+                sum_absE=carry["sum_absE"] + jnp.sum(jnp.abs(eloc)),
+                sum_E2=carry["sum_E2"] + jnp.sum(es**2),
+                sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
+                sum_EO=carry["sum_EO"] + es @ Os,
+                sum_OO=carry["sum_OO"]
+                + jnp.matmul(Os.T, Os, preferred_element_type=cdt),
+                sum_logp=carry["sum_logp"] + jnp.sum(logp),
+            )
+            if want_A:
+                w = es**2
+                upd["sum_E2O"] = carry["sum_E2O"] + w @ Os
+                upd["sum_E2OO"] = carry["sum_E2OO"] + jnp.matmul(
+                    Os.T, Os * w[:, None], preferred_element_type=cdt
+                )
+                upd["sum_EOO"] = carry["sum_EOO"] + jnp.matmul(
+                    Os.T, Os * es[:, None], preferred_element_type=cdt
+                )
+            if cfg.compute_sexp:
+                w = logp**2
+                upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
+                upd["sum_l2O"] = carry["sum_l2O"] + w @ Os
+                upd["sum_l2OO"] = carry["sum_l2OO"] + jnp.matmul(
+                    Os.T, Os * w[:, None], preferred_element_type=cdt
+                )
+            return upd, (logp, eloc)
+
+        zero = dict(
+            sum_O=jnp.zeros((P,), cdt),
+            sum_E=jnp.zeros((), cdt),
+            sum_absE=jnp.zeros((), cdt),
+            sum_E2=jnp.zeros((), cdt),
+            sum_rawE2=jnp.zeros((), cdt),
+            sum_EO=jnp.zeros((P,), cdt),
+            sum_OO=jnp.zeros((P, P), cdt),
+            sum_logp=jnp.zeros((), cdt),
+        )
+        if want_A:
+            zero["sum_E2O"] = jnp.zeros((P,), cdt)
+            zero["sum_E2OO"] = jnp.zeros((P, P), cdt)
+            zero["sum_EOO"] = jnp.zeros((P, P), cdt)
+        if cfg.compute_sexp:
+            zero["sum_l2"] = jnp.zeros((), cdt)
+            zero["sum_l2O"] = jnp.zeros((P,), cdt)
+            zero["sum_l2OO"] = jnp.zeros((P, P), cdt)
+
+        acc, (logp_all, eloc_all) = jax.lax.scan(
+            chunk_fn, zero, x.reshape(n_chunks, c, d)
+        )
+        logp = logp_all.reshape(n)
+        eloc = eloc_all.reshape(n)
+
+        # Un-shift. With y = O - c_O, f = E - c_E:
+        #   m_y = E[y],  S0 = E[y^T y] - m_y^T m_y  (shift cancels exactly)
+        #   F0 = E[(f - m_f)(y - m_y)] = E[f y] - m_f m_y
+        m_y = acc["sum_O"] / n
+        m_f = acc["sum_E"] / n
+        S0 = acc["sum_OO"] / n - jnp.outer(m_y, m_y)
+        F0 = acc["sum_EO"] / n - m_f * m_y
+        eloc_mean = m_f + c_E
+        eloc_var = acc["sum_E2"] / n - m_f**2
+
+        A = None
+        if want_A:
+            # A = E[fbar^2 ybar^T ybar], fbar = f - m_f, ybar = y - m_y.
+            # Exact expansion of the weight fbar^2 = f^2 - 2 m_f f + m_f^2
+            # against the accumulated raw moments (all pilot-shifted, so the
+            # f32 sums stay well conditioned):
+            Efyy = acc["sum_EOO"] / n
+            Ef2yy = acc["sum_E2OO"] / n
+            Efy = acc["sum_EO"] / n
+            Ef2y = acc["sum_E2O"] / n
+            Eyy = acc["sum_OO"] / n
+            M2 = Ef2yy - 2.0 * m_f * Efyy + m_f**2 * Eyy
+            v2 = Ef2y - 2.0 * m_f * Efy + m_f**2 * m_y
+            s2 = acc["sum_E2"] / n - m_f**2
+            A = (
+                M2
+                - jnp.outer(v2, m_y)
+                - jnp.outer(m_y, v2)
+                + s2 * jnp.outer(m_y, m_y)
+            )
+        SExp = None
+        if cfg.compute_sexp:
+            El2yy = acc["sum_l2OO"] / n
+            El2y = acc["sum_l2O"] / n
+            El2 = acc["sum_l2"] / n
+            SExp = (
+                El2yy
+                - jnp.outer(El2y, m_y)
+                - jnp.outer(m_y, El2y)
+                + El2 * jnp.outer(m_y, m_y)
+            )
+
+        return dict(
+            logp=logp,
+            eloc=eloc,
+            eloc_mean=eloc_mean,
+            eloc_abs_mean=acc["sum_absE"] / n,
+            eloc_var=eloc_var,
+            eloc_sq_mean=acc["sum_rawE2"] / n,
+            F0=F0,
+            S0=S0,
+            A=A,
+            SExp=SExp,
+        )
+
+    # ------------------------------------------------------------------
+    # Observables (tdvp.py:143-162).
+    # ------------------------------------------------------------------
+    def _observables(self, x, logp, key, aux):
+        d = x.shape[-1]
+        mean = jnp.mean(x, axis=0)
+        xc = x - mean
+        aux["x1"] = mean
+        aux["covar"] = (xc.T @ xc) / x.shape[0]
+        aux["entropy"] = -jnp.mean(logp)
+        for m in (3, 4, 5, 6):
+            aux[f"x{m}"] = jnp.mean(xc**m, axis=0)
+
+        if self.cfg.integrals:
+            # Uniform-in-ball MC integral of p over spheres of radius
+            # {1, 0.5, 0.1} * sqrt(T) (tdvp.py:153-162), with fresh keys
+            # (fixes quirk Q6: the reference reused psi.sampler.key).
+            n_int = self.n_samples_obs
+            k_dir, k_r = jax.random.split(key)
+            dirs = jax.random.normal(k_dir, (n_int, d), dtype=x.dtype)
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            radii = (
+                jax.random.uniform(k_r, (n_int,), dtype=x.dtype) ** (1.0 / d)
+            )
+            unit_ball = dirs * radii[:, None]
+            for lim in (1.0, 0.5, 0.1):
+                r = lim * math.sqrt(self.cfg.integral_T)
+                vol = _ball_volume(d, r)
+                pts = r * unit_ball
+                logp_pts = jax.vmap(self.flow.log_prob, in_axes=(None, 0))(
+                    aux["_params"], pts
+                )
+                aux[f"integral_{lim}sigma"] = (
+                    jnp.mean(jnp.exp(logp_pts)) * vol
+                )
+        return aux
+
+    # ------------------------------------------------------------------
+    # Fused right-hand side.
+    # ------------------------------------------------------------------
+    def _rhs_impl(self, theta_c, t, key, z_ext, z_obs_ext, n: int, n_obs: int):
+        cfg = self.cfg
+        params = self._unravel(theta_c)
+        k_sample, k_obs, k_int = jax.random.split(key, 3)
+
+        # SAMPLE: latent draw + inverse-flow push-forward (in-jit for exact
+        # latents; externally-supplied for the MCMC path).
+        if z_ext is None:
+            z = self.flow.latent_sample(k_sample, params, n, dtype=theta_c.dtype)
+        else:
+            z = z_ext
+        z = self.ctx.constrain(z, self.ctx.samples_spec)
+        x, _ = jax.vmap(self.flow.push, in_axes=(None, 0))(params, z)
+        x = jax.lax.stop_gradient(x)
+        x = self.ctx.constrain(x, self.ctx.samples_spec)
+
+        # STATS: Eloc, force, Gram (+SNR/SExp second moments).
+        if cfg.chunk_size and cfg.chunk_size < n:
+            st = self._chunked_stats(theta_c, t, x)
+        else:
+            st = self._direct_stats(theta_c, t, x)
+
+        S0, F0 = st["S0"], st["F0"]
+        S = S0
+        if cfg.diagonal_shift > 1e-10:
+            S = S + jnp.diag(cfg.diagonal_shift * jnp.diag(S))
+
+        sdt = self.precision.solve
+        aux = {}
+        if cfg.solve_on_device:
+            update, ev, snr, _ = _solve_regularized(
+                S.astype(sdt), F0.astype(sdt), cfg, n,
+                A=None if st["A"] is None else st["A"].astype(sdt),
+            )
+            residual = jnp.linalg.norm(
+                S.astype(sdt) @ update - F0.astype(sdt)
+            ) / jnp.linalg.norm(F0.astype(sdt))
+            tdvp_error = 1.0 + (
+                update @ S0.astype(sdt) @ update
+                - 2.0 * F0.astype(sdt) @ update
+            ) / st["eloc_sq_mean"].astype(sdt)
+            aux.update(
+                update=update,
+                ev=ev,
+                snr=snr if snr is not None else jnp.zeros_like(ev),
+                solver_res=residual,
+                tdvp_error=tdvp_error,
+            )
+        else:
+            aux.update(S=S, S0=S0, F0=F0, A=st["A"],
+                       eloc_sq_mean=st["eloc_sq_mean"])
+
+        aux["eloc_mean"] = st["eloc_mean"]
+        aux["eloc_abs_mean"] = st["eloc_abs_mean"]
+        aux["eloc_var"] = st["eloc_var"]
+        aux["max_grad"] = jnp.max(st["eloc"])
+        if st["SExp"] is not None:
+            aux["SExp"] = st["SExp"]
+
+        # OBSERVABLES on the (possibly larger) observable budget
+        # (tdvp.py:130-134: resample only when n_obs > n).
+        if cfg.observables:
+            if n_obs > n:
+                if z_obs_ext is None:
+                    z_o = self.flow.latent_sample(
+                        k_obs, params, n_obs, dtype=theta_c.dtype
+                    )
+                else:
+                    z_o = z_obs_ext
+                z_o = self.ctx.constrain(z_o, self.ctx.samples_spec)
+                x_o, logp_o = jax.vmap(self.flow.push, in_axes=(None, 0))(
+                    params, z_o
+                )
+            else:
+                x_o, logp_o = x, st["logp"]
+            aux["_params"] = params
+            aux = self._observables(x_o, logp_o, k_int, aux)
+            del aux["_params"]
+
+        aux["nan"] = jnp.any(
+            jnp.isnan(aux["update"] if "update" in aux else F0)
+        )
+        return aux
+
+    # ------------------------------------------------------------------
+    def rhs(self, theta, t, key, intStep: int = 0):
+        """Host-facing RHS: theta in master dtype -> (dtheta master, aux).
+        ``intStep`` decorrelates RNG across the integrator's internal stages
+        (stepper.py's f(..., intStep=k) contract)."""
+        key = jax.random.fold_in(key, intStep)
+        theta_c = jnp.asarray(theta, dtype=self.precision.compute)
+
+        z_ext = z_obs_ext = None
+        if not self.sampler.exact:
+            params = self._unravel(theta_c)
+            k_s, k_o, key = jax.random.split(key, 3)
+            z_ext, _ = self.sampler.sample(
+                k_s, self.flow, params, self.n_samples
+            )
+            if self.n_samples_obs > self.n_samples:
+                z_obs_ext, _ = self.sampler.sample(
+                    k_o, self.flow, params, self.n_samples_obs
+                )
+
+        aux = self._fused(
+            theta_c, t, key, z_ext, z_obs_ext,
+            n=self.n_samples, n_obs=self.n_samples_obs,
+        )
+
+        if not self.cfg.solve_on_device:
+            aux = dict(aux)
+            update, ev, snr, residual, tdvp_error = self._host_solve(aux)
+            aux.update(
+                update=update, ev=ev,
+                snr=snr if snr is not None else np.zeros_like(ev),
+                solver_res=residual, tdvp_error=tdvp_error,
+            )
+
+        # Reference diagnostic attribute contract (tdvp.py:127, main.py:186-189).
+        self.ev = aux["ev"]
+        self.snr = aux["snr"]
+        self.solverResidual = aux["solver_res"]
+        self.tdvp_error = aux["tdvp_error"]
+        self.ElocMean = aux["eloc_mean"]
+        self.ElocVar = aux["eloc_var"]
+        if "SExp" in aux:
+            self.SExp = aux["SExp"]
+
+        update = jnp.asarray(aux["update"], dtype=self.precision.master)
+        return update, aux
+
+    def _host_solve(self, aux):
+        """Host f64 eigensolve (the reference's default path, tdvp.py:60-64)."""
+        S = np.asarray(aux.pop("S"), dtype=np.float64)
+        S0 = np.asarray(aux.pop("S0"), dtype=np.float64)
+        F0 = np.asarray(aux.pop("F0"), dtype=np.float64)
+        A = aux.pop("A")
+        A = None if A is None else np.asarray(A, dtype=np.float64)
+        e2 = float(aux.pop("eloc_sq_mean"))
+        update, ev, snr, _ = _solve_regularized(
+            S, F0, self.cfg, self.n_samples, A=A, eigh_fn=np.linalg.eigh
+        )
+        residual = np.linalg.norm(S @ update - F0) / np.linalg.norm(F0)
+        tdvp_error = 1.0 + (update @ S0 @ update - 2.0 * F0 @ update) / e2
+        return update, ev, snr, residual, tdvp_error
+
+    # Stepper norm (main.py:24-26): v S v in the SExp metric.
+    def s_metric_norm(self, v, S):
+        v = jnp.asarray(v, dtype=self.precision.solve)
+        return v @ jnp.asarray(S, dtype=self.precision.solve) @ v
