@@ -107,6 +107,8 @@ def s_metric_norm(v, S):
 
 def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     """Run the time evolution; returns (state, InfoRecorder)."""
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     state, tdvp, stepper, equation, grid = build_problem(cfg)
     timings = Timings()
     rec = InfoRecorder()

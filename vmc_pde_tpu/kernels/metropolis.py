@@ -1,0 +1,186 @@
+"""TPU-resident Metropolis sampler as a Pallas kernel.
+
+The lax.scan Metropolis path (sampling/sampler.py) round-trips through XLA's
+loop machinery with per-step threefry key splitting; this kernel keeps the
+whole chain ensemble in VMEM, uses the TPU's hardware PRNG
+(pltpu.prng_random_bits), and DMAs each sweep's states straight to the HBM
+output -- the "TPU-resident Metropolis kernel" the north star calls for
+(BASELINE.json). Matches the semantics of sampler.metropolis_chain:
+independence proposals uniform in a ball, MH ratio p(new)/p(old), one
+recorded sample per chain per sweep (vmc_fluids/sampler.py:88-111 behavior,
+with the Q1 repair of an injectable latent log-density).
+
+Layout is lane-major: chains ride the 128-wide vector lanes and the (small)
+coordinate dimension rides sublanes, so the state block is (dim, chains)
+with chains a multiple of 128. This keeps every per-sweep op a full-width
+VPU op and makes the per-sweep DMA slice lane-aligned. (The obvious
+(chains, dim) layout puts dim=2..32 in the lane dimension: everything pads
+to 128 lanes and per-sweep stores violate Mosaic's lane-tiling alignment.)
+
+Mosaic constraints encoded here: loop carries must be layout-stable 2D
+blocks (1D vectors or f32 scalar carries trip "Not implemented: Offset
+change"), and the PRNG is drawn in full (rows, chains) blocks.
+
+The target log-density is an arbitrary jnp-traceable callable evaluated
+inside the kernel on the (dim, chains) proposal block, so any latent target
+(e.g. the cosine bump) fuses into the VPU loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV24 = 1.0 / (1 << 24)
+
+
+def _uniforms(rows, n_chains):
+    """(rows, n_chains) U(0,1) floats from the hardware PRNG. Mask to the
+    low 23 bits as int32 (Mosaic supports int32->f32 casts but not
+    uint32->f32, and an arithmetic shift on the raw signed bits would leave
+    half the draws negative)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rows, n_chains)),
+                         jnp.int32)
+    return (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-12
+
+
+def _ball_proposal(u, dim, bound, offset):
+    """Uniform-in-ball independence proposal (sampler.radial_proposal) from
+    a pre-drawn uniform block u of shape (2*dim+2, chains): rows 0..dim-1
+    and dim..2dim-1 feed Box-Muller direction normals, row 2dim the radius.
+    Returns (dim, chains)."""
+    u1 = u[0:dim, :]
+    u2 = u[dim:2 * dim, :]
+    d = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+    d = d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+    r = u[2 * dim:2 * dim + 1, :] ** (1.0 / dim) * bound
+    return r * d + offset
+
+
+def _metropolis_kernel(seed_ref, init_ref, offset_ref, out_ref, final_ref,
+                       acc_ref, states_ref, lp_ref, accv_ref,
+                       *, log_prob, n_chains, dim, bound, sweeps_per_block):
+    b = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    # Distinct PRNG stream per grid step (the hardware PRNG state does not
+    # persist across grid invocations).
+    pltpu.prng_seed(seed_ref[0] + b)
+    off = offset_ref[:]  # (dim, 1), broadcast across chain lanes
+
+    @pl.when(b == 0)
+    def _():
+        states_ref[:] = init_ref[:]
+        lp_ref[:] = log_prob(init_ref[:], off)
+        accv_ref[:] = jnp.zeros((1, n_chains), jnp.float32)
+
+    states = states_ref[:]
+    lp = lp_ref[:]
+    acc = accv_ref[:]
+
+    # Static unroll: each sweep's output slice has a compile-time lane
+    # offset inside this grid step's block; the grid machinery pipelines
+    # the block DMA to HBM behind the next step's compute.
+    for j in range(sweeps_per_block):
+        u = _uniforms(2 * dim + 2, n_chains)
+        prop = _ball_proposal(u, dim, bound, off)
+        lp_new = log_prob(prop, off)
+        accept = u[2 * dim + 1:2 * dim + 2, :] < jnp.exp(lp_new - lp)
+        states = jnp.where(accept, prop, states)
+        lp = jnp.where(accept, lp_new, lp)
+        acc = acc + accept.astype(jnp.float32)
+        out_ref[:, j * n_chains:(j + 1) * n_chains] = states
+
+    states_ref[:] = states
+    lp_ref[:] = lp
+    accv_ref[:] = acc
+
+    @pl.when(b == n_blocks - 1)
+    def _():
+        final_ref[:] = states
+        acc_ref[0] = jnp.sum(acc)
+
+
+def metropolis_chain_pallas(
+    seed: int,
+    init_states,
+    log_prob,
+    n_steps: int,
+    bound: float,
+    offset,
+    interpret: bool = False,
+):
+    """Run all chains for n_steps Metropolis sweeps fully on-chip.
+
+    ``init_states``: (n_chains, dim), n_chains a multiple of 128.
+    ``log_prob``: maps ((dim, chains) block, (dim, 1) offset) -> (1, chains)
+    log-densities; jnp-traceable (inlined into the kernel).
+
+    Returns (samples (n_steps*n_chains, dim), final_states (n_chains, dim),
+    n_accepted). Sample row i*n_chains + c is chain c's state after sweep i,
+    matching sampler.metropolis_chain's ordering.
+    """
+    init_states = jnp.asarray(init_states, dtype=jnp.float32)
+    n_chains, dim = init_states.shape
+    if n_chains % 128:
+        raise ValueError("n_chains must be a multiple of 128 (VPU lanes)")
+    offset_arr = jnp.asarray(
+        np.asarray(offset, dtype=np.float32).reshape(dim, 1))
+
+    K = 8  # sweeps per grid step (static unroll)
+    n_steps = ((int(n_steps) + K - 1) // K) * K
+    n_blocks = n_steps // K
+
+    kernel = functools.partial(
+        _metropolis_kernel,
+        log_prob=log_prob,
+        n_chains=int(n_chains),
+        dim=int(dim),
+        bound=float(bound),
+        sweeps_per_block=K,
+    )
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    samples_t, final_t, n_acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((dim, n_steps * n_chains), jnp.float32),
+            jax.ShapeDtypeStruct((dim, n_chains), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((dim, n_chains), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((dim, K * n_chains), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, n_chains), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dim, n_chains), jnp.float32),   # chain states
+            pltpu.VMEM((1, n_chains), jnp.float32),     # chain logp
+            pltpu.VMEM((1, n_chains), jnp.float32),     # acceptance counts
+        ],
+        interpret=interpret,
+    )(seed_arr, init_states.T, offset_arr)
+    return samples_t.T, final_t.T, int(n_acc[0])
+
+
+def cos_bump_log_prob(x, offset):
+    """The paper's cosine-bump latent target for in-kernel use
+    (sampler.py:20-22). x: (dim, chains); offset: (dim, 1) -> (1, chains)."""
+    r = jnp.minimum(
+        1.0, 4.0 * jnp.sqrt(jnp.sum((x - offset) ** 2, axis=0,
+                                    keepdims=True))
+    )
+    return jnp.log(0.5 * (1.0 + jnp.cos(np.pi * r)))

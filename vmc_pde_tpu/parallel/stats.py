@@ -18,7 +18,14 @@ Conventions (matching the reference semantics):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# On TPU, f32 matmuls lower to MXU bf16 passes; DEFAULT precision is a
+# single pass (~bf16 mantissa), which is far too coarse for a Gram matrix
+# whose eigenvalue spectrum spans many orders of magnitude. HIGHEST forces
+# the multi-pass f32-equivalent contraction.
+GRAM_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def mean(data, axis=0):
@@ -44,7 +51,8 @@ def second_moment_matrix(data, preferred_dtype=jnp.float32):
     host Allreduce of the N_params^2 message (mpi_wrapper.py:150-163)."""
     n = data.shape[0]
     return jnp.matmul(
-        data.T.conj(), data, preferred_element_type=preferred_dtype
+        data.T.conj(), data, preferred_element_type=preferred_dtype,
+        precision=GRAM_PRECISION,
     ) / n
 
 
@@ -53,7 +61,8 @@ def weighted_second_moment_matrix(data, w, preferred_dtype=jnp.float32):
     n = data.shape[0]
     wd = data * w[:, None]
     return jnp.matmul(
-        data.T.conj(), wd, preferred_element_type=preferred_dtype
+        data.T.conj(), wd, preferred_element_type=preferred_dtype,
+        precision=GRAM_PRECISION,
     ) / n
 
 

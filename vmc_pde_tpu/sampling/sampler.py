@@ -116,6 +116,11 @@ class Sampler:
     proposer: Callable = radial_proposal
     burn_in: int = 0
     dtype: jnp.dtype = jnp.float32
+    # TPU-resident Pallas Metropolis kernel (kernels/metropolis.py).
+    # None = auto: used on TPU backends when a lane-major kernel target is
+    # available (built-in for "cos_dist") and n_chains % 128 == 0.
+    use_pallas: Optional[bool] = None
+    kernel_log_prob: Optional[Callable] = None  # lane-major (dim, C) target
 
     def __post_init__(self):
         self.exact = self.name in latent_mod.NAMES
@@ -128,6 +133,18 @@ class Sampler:
                 )
             off = jnp.asarray(self.mcmc_info["offset"])
             self.latent_log_prob = partial(cos_dist_log_prob, offset=off)
+        if not self.exact and self.kernel_log_prob is None and \
+                self.name == "cos_dist":
+            from ..kernels.metropolis import cos_bump_log_prob
+            self.kernel_log_prob = cos_bump_log_prob
+        if self.use_pallas is None:
+            on_tpu = jax.default_backend() == "tpu"
+            self.use_pallas = (
+                not self.exact
+                and on_tpu
+                and self.kernel_log_prob is not None
+                and self.n_chains % 128 == 0
+            )
         self._states = None
         self._mcmc_jit = None
         self.last_info: Optional[MCSampleInfo] = None
@@ -159,6 +176,8 @@ class Sampler:
         if self._states is None:
             self._states = self._init_states(k_init)
         n_steps = n_total // self.n_chains + self.burn_in
+        if self.use_pallas:
+            return self._sample_mcmc_pallas(k_run, n_total, n_steps)
         if self._mcmc_jit is None:
             self._mcmc_jit = jax.jit(
                 partial(
@@ -178,3 +197,27 @@ class Sampler:
             num_proposed=n_steps * self.n_chains, num_accepted=int(n_acc)
         )
         return samples
+
+    def _sample_mcmc_pallas(self, key, n_total: int, n_steps: int):
+        """TPU-resident path: the whole chain ensemble runs inside one
+        Pallas kernel with the hardware PRNG (kernels/metropolis.py)."""
+        from ..kernels.metropolis import metropolis_chain_pallas
+
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        samples, self._states, n_acc = metropolis_chain_pallas(
+            seed,
+            self._states,
+            self.kernel_log_prob,
+            n_steps,
+            float(self.mcmc_info["bound"]),
+            np.asarray(self.mcmc_info["offset"]),
+        )
+        if self.burn_in:
+            samples = samples[self.burn_in * self.n_chains:]
+        # the kernel may round sweep counts up; trim to the exact budget
+        if samples.shape[0] > n_total:
+            samples = samples[:n_total]
+        self.last_info = MCSampleInfo(
+            num_proposed=n_steps * self.n_chains, num_accepted=int(n_acc)
+        )
+        return samples.astype(self.dtype)

@@ -259,24 +259,28 @@ class TDVP:
                 sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
                 sum_EO=carry["sum_EO"] + es @ Os,
                 sum_OO=carry["sum_OO"]
-                + jnp.matmul(Os.T, Os, preferred_element_type=cdt),
+                + jnp.matmul(Os.T, Os, preferred_element_type=cdt,
+                             precision=stats.GRAM_PRECISION),
                 sum_logp=carry["sum_logp"] + jnp.sum(logp),
             )
             if want_A:
                 w = es**2
                 upd["sum_E2O"] = carry["sum_E2O"] + w @ Os
                 upd["sum_E2OO"] = carry["sum_E2OO"] + jnp.matmul(
-                    Os.T, Os * w[:, None], preferred_element_type=cdt
+                    Os.T, Os * w[:, None], preferred_element_type=cdt,
+                    precision=stats.GRAM_PRECISION,
                 )
                 upd["sum_EOO"] = carry["sum_EOO"] + jnp.matmul(
-                    Os.T, Os * es[:, None], preferred_element_type=cdt
+                    Os.T, Os * es[:, None], preferred_element_type=cdt,
+                    precision=stats.GRAM_PRECISION,
                 )
             if cfg.compute_sexp:
                 w = logp**2
                 upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
                 upd["sum_l2O"] = carry["sum_l2O"] + w @ Os
                 upd["sum_l2OO"] = carry["sum_l2OO"] + jnp.matmul(
-                    Os.T, Os * w[:, None], preferred_element_type=cdt
+                    Os.T, Os * w[:, None], preferred_element_type=cdt,
+                    precision=stats.GRAM_PRECISION,
                 )
             return upd, (logp, eloc)
 

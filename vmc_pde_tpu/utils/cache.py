@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache setup.
+
+TPU compiles of the fused TDVP program are expensive (minutes through a
+remote-compile path); the persistent cache makes every re-run of an
+unchanged program near-instant across processes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/vmc_pde_tpu_xla")
+
+
+def enable_compilation_cache(path: str = DEFAULT_DIR) -> None:
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax versions: cache flags unavailable
