@@ -30,7 +30,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(dim, depth, n_samples, precision_name="tpu", chunk=0):
+def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
+          solver="auto", gram_precision="highest"):
     import jax.numpy as jnp
 
     from vmc_pde_tpu.models.flow import build_flow
@@ -50,7 +51,8 @@ def build(dim, depth, n_samples, precision_name="tpu", chunk=0):
     eq = FokkerPlanck()
     tdvp = TDVP(state, eq,
                 TDVPConfig(compute_snr=False, observables=False,
-                           chunk_size=chunk),
+                           chunk_size=chunk, solver_method=solver,
+                           gram_precision=gram_precision),
                 n_samples=n_samples, n_samples_obs=n_samples, precision=prec)
     return state, tdvp
 
@@ -146,6 +148,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chunk", type=int, default=2048,
                     help="streaming Gram chunk size (0 = direct)")
+    ap.add_argument("--gram-precision", type=str, default="highest",
+                    choices=["highest", "high", "default"])
+    ap.add_argument("--solver", type=str, default="auto",
+                    choices=["auto", "eigh", "cholesky"])
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--no-baseline", action="store_true")
@@ -166,7 +172,9 @@ def main():
     log(f"devices: {jax.devices()} (n={n_chips})")
 
     state, tdvp = build(args.dim, args.depth, args.samples,
-                        chunk=args.chunk)
+                        chunk=args.chunk, solver=args.solver,
+                        gram_precision=args.gram_precision)
+    log(f"solver={tdvp.solver_method} chunk={args.chunk}")
     log(f"dim={args.dim} n_params={state.numParameters} "
         f"n_samples={tdvp.n_samples}")
 

@@ -1,0 +1,165 @@
+"""Tests for the diagnostics stack: native async recorder, paper-figure
+analysis utilities, visualization battery, oracle CLI, timings."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+
+def test_async_recorder_roundtrip(tmp_path):
+    from vmc_pde_tpu.utils.recorder import (AsyncRecorder, log_to_infos,
+                                            read_log)
+
+    path = str(tmp_path / "run.vpdr")
+    rec = AsyncRecorder(path)
+    if not rec.available:
+        pytest.skip("no C++ toolchain")
+    for step in range(100):
+        rec.record("entropy", step, 2.84 + step * 1e-3)
+        rec.record("ev", step, np.linspace(0, 1, 37))
+    rec.record_dict(100, {"x1": np.array([0.1, 0.2]), "_private": 1.0})
+    rec.close()
+
+    infos = log_to_infos(path)
+    assert len(infos["entropy"]) == 100
+    assert np.asarray(infos["ev"]).shape == (100, 37)
+    np.testing.assert_allclose(infos["entropy"][3], 2.843)
+    assert "x1" in infos and "_private" not in infos
+    names = {r[0] for r in read_log(path)}
+    assert names == {"entropy", "ev", "x1"}
+
+
+def test_recorder_corrupt_file(tmp_path):
+    from vmc_pde_tpu.utils.recorder import read_log
+
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"not a log at all")
+    with pytest.raises(ValueError):
+        read_log(str(p))
+
+
+def test_paper_analytic_targets():
+    from vmc_pde_tpu.viz import paper
+
+    # steady-state entropy (paper_plot_phaseSpaceTempDifference.py:87)
+    np.testing.assert_allclose(
+        paper.steady_state_entropy(3, 10.0),
+        3 * math.log(2 * math.pi * math.e * 10.0),
+    )
+    # sphere-integral closed forms match the reference's Wolfram constants
+    # for d=2 (paper_plot_phaseSpaceTempDifference.py:129-133)
+    np.testing.assert_allclose(paper.gauss_ball_mass(2, 0.17), 1.44e-2,
+                               rtol=0.01)
+    np.testing.assert_allclose(paper.gauss_ball_mass(2, 1.0),
+                               1 - np.exp(-0.5), rtol=1e-12)
+
+
+def test_paper_entropy_error_stats():
+    from vmc_pde_tpu.viz import paper
+
+    t = np.linspace(0, 5, 50)
+    infos = {
+        "times": t,
+        "entropy": paper.gauss_diffusion_entropy(t, dim=8) + 0.01,
+    }
+    stats = paper.entropy_error_stats(infos, dim=8)
+    np.testing.assert_allclose(stats["max"], 0.01, rtol=1e-10)
+    np.testing.assert_allclose(stats["final"], 0.01, rtol=1e-10)
+
+
+def test_paper_plots_and_slim(tmp_path):
+    from vmc_pde_tpu.viz import paper
+
+    t = np.linspace(0, 2, 40)
+    infos = {
+        "times": t,
+        "entropy": paper.gauss_diffusion_entropy(t, 2),
+        "x1": np.zeros((40, 2)),
+        "covar": np.tile(np.eye(2), (40, 1, 1)),
+        "integral_1sigma": np.full(40, 0.86),
+    }
+    slim = paper.slim_infos(infos, 10)
+    assert len(slim["times"]) == 4
+
+    fig = paper.plot_entropy_comparison({"run": infos}, dim=2,
+                                        save=str(tmp_path / "e.pdf"))
+    assert os.path.exists(tmp_path / "e.pdf")
+    figs = paper.plot_vs_oracle(infos, infos, entropy_target=1.0,
+                                save_prefix=str(tmp_path / "cmp"))
+    assert len(figs) >= 3
+    assert os.path.exists(tmp_path / "cmp_entropy.pdf")
+
+
+def test_make_final_plots(tmp_path):
+    from vmc_pde_tpu.viz.plots import make_final_plots
+
+    n, p = 20, 15
+    t = np.linspace(0, 1, n)
+    infos = {
+        "times": t,
+        "entropy": 2.8 + t,
+        "x1": np.zeros((n, 2)),
+        "covar": np.tile(np.eye(2), (n, 1, 1)),
+        "solver_res": np.full(n, 1e-12),
+        "tdvp_error": np.full(n, 1e-5),
+        "ev": np.tile(np.logspace(-14, 2, p), (n, 1)),
+        "snr": np.tile(np.logspace(0, 3, p), (n, 1)),
+        "dist_params": np.zeros((n, 1)),
+        "max_grad": np.ones(n),
+        "x3": np.zeros((n, 2)),
+        "integral_1sigma": np.full(n, 0.86),
+    }
+    figs = make_final_plots(str(tmp_path), infos, dim=2)
+    assert "entropy" in figs and "spectrum" in figs and "snr" in figs
+    assert os.path.exists(tmp_path / "entropy.pdf")
+
+
+def test_oracle_cli(tmp_path, capsys):
+    from vmc_pde_tpu.oracle.__main__ import main
+
+    main(["diffusion2d", "--particles", "2000", "--t-end", "0.5",
+          "--workdir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "final covar diag" in out
+    assert os.path.exists(tmp_path / "infos.hdf5")
+
+    from vmc_pde_tpu.utils.infos import load_infos
+
+    infos = load_infos(str(tmp_path / "infos.hdf5"))
+    # 2D diffusion from N(0,I): covar diag ~ 1 + 2t at the last recorded step
+    t_last = infos["times"][-1]
+    np.testing.assert_allclose(
+        np.diag(infos["covar"][-1]), (1 + 2 * t_last) * np.ones(2), atol=0.15
+    )
+
+
+def test_timings_sections():
+    import time
+
+    from vmc_pde_tpu.utils.timings import Timings
+
+    tm = Timings()
+    with tm.section("a"):
+        time.sleep(0.01)
+    tm.start_timing("b")
+    tm.stop_timing("b")
+    assert tm.last("a") >= 0.01
+    assert "b" in tm.timing_dict
+    tm.print_timings()
+
+
+def test_info_recorder_device_arrays():
+    """InfoRecorder must not force per-append host syncs and must
+    materialize device arrays on flush."""
+    import jax.numpy as jnp
+
+    from vmc_pde_tpu.utils.infos import InfoRecorder
+
+    rec = InfoRecorder()
+    for i in range(4):
+        rec.append("x", jnp.full((3,), i))
+    arrs = rec.as_arrays()
+    assert isinstance(arrs["x"], np.ndarray)
+    assert arrs["x"].shape == (4, 3)

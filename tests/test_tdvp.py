@@ -146,6 +146,47 @@ def test_observable_budget_resampling(ctx1):
                                rtol=0.1)
 
 
+def test_cholesky_solver_matches_eigh_physics(ctx1):
+    """The large-P Tikhonov/Cholesky path must produce the same physical
+    update as the spectral pseudo-inverse (they differ only in how noise
+    modes are filtered)."""
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    cfg_e = TDVPConfig(solver_method="eigh")
+    cfg_c = TDVPConfig(solver_method="cholesky")
+    st, t_e = make_problem(ctx1, dim=2, n=8192, cfg=cfg_e)
+    _, t_c = make_problem(ctx1, dim=2, n=8192, cfg=cfg_c)
+    assert t_c.solver_method == "cholesky"
+    key = jax.random.PRNGKey(21)
+    theta = st.get_parameters()
+    u_e, a_e = t_e.rhs(theta, 0.0, key)
+    u_c, a_c = t_c.rhs(theta, 0.0, key)
+    assert "lambda_max" in a_c and "ev" not in a_c
+    # dominant update directions agree
+    cos = float(u_e @ u_c / (jnp.linalg.norm(u_e) * jnp.linalg.norm(u_c)))
+    assert cos > 0.99, cos
+    # the Tikhonov residual is bounded by the regularization scale
+    assert float(a_c["solver_res"]) < 1e-3
+
+    # and it must drive the covariance at the same (exact) rate
+    eps = 1e-4
+    st.set_parameters(theta + eps * u_c)
+    cov1 = model_covariance(st)
+    st.set_parameters(theta)
+    cov0 = model_covariance(st)
+    np.testing.assert_allclose((cov1 - cov0) / eps, 2 * np.eye(2), atol=0.3)
+
+
+def test_solver_method_auto_threshold(ctx1):
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    st, tdvp = make_problem(ctx1, dim=2, n=256,
+                            cfg=TDVPConfig(eigh_max_params=10))
+    assert tdvp.solver_method == "cholesky"
+    st2, tdvp2 = make_problem(ctx1, dim=2, n=256, cfg=TDVPConfig())
+    assert tdvp2.solver_method == "eigh"
+
+
 def test_nan_flag(ctx1):
     st, tdvp = make_problem(ctx1, dim=2, n=256)
     theta = st.get_parameters()

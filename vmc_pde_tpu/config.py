@@ -91,7 +91,7 @@ PRESETS = {
     "fluidpaper": _preset(
         name="fluidpaper", dim=2, offset=(0.25, 0.25), latent_name="cos_dist",
         equation="advection_paper", variant="affine",
-        dt0=1e-4, max_step=1e-2, grid_bound=1.0, sym_grid=False,
+        dt0=1e-4, max_step=1e-3, grid_bound=1.0, sym_grid=False,
         mcmc_bound=0.25,
     ),
     "harmonicOsc": _preset(
@@ -123,8 +123,7 @@ def preset(name: str, **overrides) -> RunConfig:
 
 
 def latent_for_sampler(cfg: RunConfig) -> str:
-    """The flow's latent family: cos_dist targets use a Gauss base whose
-    MCMC samples come from the bump density (the reference reuses the
-    'Gauss' pdf for evaluation in that mode -- net.py:197-199 has only
-    Gauss/Student_t)."""
-    return cfg.latent_name if cfg.latent_name in ("Gauss", "Student_t") else "Gauss"
+    """The flow's latent family. All workload latents (including the
+    fluidpaper cosine bump, which the reference's net did not actually
+    implement -- net.py:197-199, quirk Q9) are first-class here."""
+    return cfg.latent_name

@@ -117,15 +117,27 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     if wdir and is_coordinator():
         os.makedirs(wdir, exist_ok=True)
 
+    # NaN aborts are checked at flush points rather than per RHS call: a
+    # per-call bool() would force a device->host sync and serialize the
+    # pipeline (the reference exits on NaN inside the step, tdvp.py:136-141;
+    # we fail at most ``flush_every`` steps later with the same diagnostics).
+    pending_nan = []
+
     def f(theta, t, key, intStep=0):
         with timings.section("tdvp_rhs"):
             update, aux = tdvp.rhs(theta, t, key, intStep=intStep)
-            jax.block_until_ready(update)
-        if bool(aux["nan"]):
-            raise FloatingPointError(
-                f"NaN encountered in TDVP update at t={t}"
-            )
+            if cfg.verbose:
+                jax.block_until_ready(update)
+        pending_nan.append((aux["nan"], t))
         return update, aux
+
+    def check_nan():
+        for flag, t_at in pending_nan:
+            if bool(flag):
+                raise FloatingPointError(
+                    f"NaN encountered in TDVP update at t={t_at}"
+                )
+        pending_nan.clear()
 
     theta = state.get_parameters()
     t = 0.0
@@ -148,15 +160,17 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         rec.append("times", t)
         rec.append_dict({k: v for k, v in info.items()
                          if not isinstance(v, dict)})
-        rec.append("dist_params", np.asarray(
-            state.params["latent"]["dist_params"]))
+        rec.append("dist_params", state.params["latent"]["dist_params"])
 
         if cfg.verbose:
+            check_nan()
             print(f"t = {t:.4f}, dt = {dt:e}  "
                   f"[{time.perf_counter() - t0:.3f}s]")
             print(f"\t > Solver Residual = {float(info['solver_res']):.3e}")
             print(f"\t > TDVP Error = {float(info['tdvp_error']):.3e}")
             print(f"\t > Entropy = {float(info['entropy']):.6f}")
+        elif n_step % 25 == 24:
+            check_nan()
 
         n = round(t / cfg.plot_every)
         if (grid is not None and abs(t - n * cfg.plot_every) < dt
@@ -178,6 +192,8 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         t += dt
         n_step += 1
 
+    check_nan()
+    rec.flush()
     if wdir and is_coordinator():
         store_infos(wdir, rec)
     return state, rec

@@ -133,18 +133,28 @@ def metropolis_chain_pallas(
 
     K = 8  # sweeps per grid step (static unroll)
     n_steps = ((int(n_steps) + K - 1) // K) * K
-    n_blocks = n_steps // K
 
+    call = _build_call(log_prob, n_steps, int(n_chains), int(dim),
+                       float(bound), K, interpret)
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    samples, final_states, n_acc = call(seed_arr, init_states.T, offset_arr)
+    return samples, final_states, int(n_acc[0])
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call(log_prob, n_steps, n_chains, dim, bound, K, interpret):
+    """Build (and cache) the jitted pallas_call for a static configuration --
+    rebuilding/retracing per invocation costs ~100x the kernel runtime."""
+    n_blocks = n_steps // K
     kernel = functools.partial(
         _metropolis_kernel,
         log_prob=log_prob,
-        n_chains=int(n_chains),
-        dim=int(dim),
-        bound=float(bound),
+        n_chains=n_chains,
+        dim=dim,
+        bound=bound,
         sweeps_per_block=K,
     )
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
-    samples_t, final_t, n_acc = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         out_shape=(
@@ -172,8 +182,14 @@ def metropolis_chain_pallas(
             pltpu.VMEM((1, n_chains), jnp.float32),     # acceptance counts
         ],
         interpret=interpret,
-    )(seed_arr, init_states.T, offset_arr)
-    return samples_t.T, final_t.T, int(n_acc[0])
+    )
+
+    @jax.jit
+    def run(seed_arr, init_t, offset_arr):
+        samples_t, final_t, n_acc = call(seed_arr, init_t, offset_arr)
+        return samples_t.T, final_t.T, n_acc
+
+    return run
 
 
 def cos_bump_log_prob(x, offset):

@@ -29,12 +29,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import gammaln
 
-NAMES = ("Gauss", "Student_t")
+NAMES = ("Gauss", "Student_t", "cos_dist")
+EXACT_NAMES = ("Gauss", "Student_t")  # closed-form samplers exist
+
+# Normalization of the 2D cosine bump f(x) = (1 + cos(pi * min(1, 4|x|)))/2:
+# Z = pi/32 - 1/(8 pi) (compact support |x| <= 1/4). The reference declares
+# this latent in its mode table (main.py:33 "cos_dist") but its network only
+# implements Gauss/Student_t (net.py:197-199) -- the fluidpaper mode would
+# KeyError as shipped (quirk Q9). Here it is a first-class, normalized
+# latent density so the advection workload runs end to end.
+_COS_BUMP_LOG_Z_2D = float(np.log(np.pi / 32.0 - 1.0 / (8.0 * np.pi)))
 
 
 def n_extra_params(name: str) -> int:
     """Number of extra scalar distribution parameters (net.py:197-198)."""
-    return {"Gauss": 0, "Student_t": 1}[name]
+    return {"Gauss": 0, "Student_t": 1, "cos_dist": 0}[name]
 
 
 def init_params(dim: int, name: str, dtype=jnp.float32):
@@ -100,11 +109,23 @@ def student_t_log_prob(latent_params, dim: int, x):
     )
 
 
+def cos_bump_log_prob(latent_params, dim: int, x):
+    """Normalized cosine bump (sampler.py:20-22 shape + proper log Z).
+    The Cholesky/mean latent parameters are unused (the bump is fixed; the
+    flow learns all deformation). 2D only, like the reference workload."""
+    if dim != 2:
+        raise ValueError("cos_dist latent is defined for dim=2")
+    r = jnp.minimum(1.0, 4.0 * jnp.sqrt(jnp.sum(x * x)))
+    return jnp.log(0.5 * (1.0 + jnp.cos(jnp.pi * r))) - _COS_BUMP_LOG_Z_2D
+
+
 def log_prob(name: str, latent_params, dim: int, x):
     if name == "Gauss":
         return gauss_log_prob(latent_params, dim, x)
     if name == "Student_t":
         return student_t_log_prob(latent_params, dim, x)
+    if name == "cos_dist":
+        return cos_bump_log_prob(latent_params, dim, x)
     raise ValueError(f"unknown latent distribution {name!r}")
 
 
@@ -114,6 +135,8 @@ def sample(name: str, key, latent_params, dim: int, n: int, dtype=jnp.float32):
     Gauss:      z = mu + L eps                      (sampler.py:25-26)
     Student_t:  z = mu + L eps * sqrt(nu / chi2_nu) (sampler.py:29-34, keyed)
     """
+    if name not in EXACT_NAMES:
+        raise ValueError(f"no closed-form sampler for latent {name!r}")
     k_eps, k_chi = jax.random.split(key)
     L = chol_factor(latent_params, dim).astype(dtype)
     eps = jax.random.normal(k_eps, (n, dim), dtype=dtype)

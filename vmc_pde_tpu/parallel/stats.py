@@ -24,8 +24,15 @@ import jax.numpy as jnp
 # On TPU, f32 matmuls lower to MXU bf16 passes; DEFAULT precision is a
 # single pass (~bf16 mantissa), which is far too coarse for a Gram matrix
 # whose eigenvalue spectrum spans many orders of magnitude. HIGHEST forces
-# the multi-pass f32-equivalent contraction.
+# the 6-pass f32-equivalent contraction; HIGH (3-pass) halves the Gram cost
+# at ~2x the rounding noise.
 GRAM_PRECISION = jax.lax.Precision.HIGHEST
+
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
 def mean(data, axis=0):
@@ -41,7 +48,8 @@ def variance(data, axis=0):
     return jnp.mean(jnp.real(jnp.conj(d) * d), axis=axis)
 
 
-def second_moment_matrix(data, preferred_dtype=jnp.float32):
+def second_moment_matrix(data, preferred_dtype=jnp.float32,
+                         precision=None):
     """E[X^T X] for data of shape (N, P): the Gram accumulation.
 
     This is the single large contraction of the TDVP step; on TPU it is an
@@ -52,17 +60,18 @@ def second_moment_matrix(data, preferred_dtype=jnp.float32):
     n = data.shape[0]
     return jnp.matmul(
         data.T.conj(), data, preferred_element_type=preferred_dtype,
-        precision=GRAM_PRECISION,
+        precision=precision or GRAM_PRECISION,
     ) / n
 
 
-def weighted_second_moment_matrix(data, w, preferred_dtype=jnp.float32):
+def weighted_second_moment_matrix(data, w, preferred_dtype=jnp.float32,
+                                  precision=None):
     """E[w_i X_i X_i^T] with per-sample weights w of shape (N,)."""
     n = data.shape[0]
     wd = data * w[:, None]
     return jnp.matmul(
         data.T.conj(), wd, preferred_element_type=preferred_dtype,
-        precision=GRAM_PRECISION,
+        precision=precision or GRAM_PRECISION,
     ) / n
 
 

@@ -123,7 +123,7 @@ class Sampler:
     kernel_log_prob: Optional[Callable] = None  # lane-major (dim, C) target
 
     def __post_init__(self):
-        self.exact = self.name in latent_mod.NAMES
+        self.exact = self.name in latent_mod.EXACT_NAMES
         if self.mcmc_info is None:
             self.mcmc_info = {"offset": jnp.zeros(self.dim), "bound": 0.25}
         if not self.exact and self.latent_log_prob is None:

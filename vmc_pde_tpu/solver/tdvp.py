@@ -59,6 +59,21 @@ class TDVPConfig:
     svd_tol: float = 1e-11
     diagonal_shift: float = 0.0
     eig_cutoff: float = 1e-14
+    # Linear-solver strategy. "eigh" is the reference's spectral
+    # pseudo-inverse with per-mode regularization (tdvp.py:57-91); its cost
+    # is a dense O(P^3) eigendecomposition that dominates the whole step
+    # beyond a few thousand parameters (P=9264: seconds on a v5e, vs ~100 ms
+    # for everything else combined). "cholesky" solves the Tikhonov system
+    # (S + svd_tol * lambda_max * I) du = F with a power-iteration
+    # lambda_max estimate -- the same soft small-mode suppression without
+    # the spectrum (so no per-mode ev/snr diagnostics). "auto" picks eigh
+    # up to ``eigh_max_params`` and cholesky beyond.
+    solver_method: str = "auto"
+    eigh_max_params: int = 2048
+    # MXU pass count for the Gram contractions: "highest" (6-pass f32
+    # equivalent), "high" (3-pass, ~2x faster), "default" (1-pass bf16 --
+    # too coarse for the spectral solve, usable with cholesky + large tol).
+    gram_precision: str = "highest"
     # Floor svd_tol/eig_cutoff at multiples of the compute dtype's epsilon:
     # the reference tolerances assume f64 statistics; with an f32 compute
     # path, Gram eigenvalue noise sits at ~eps * ev_max and must be cut.
@@ -95,14 +110,43 @@ def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
     snr = None
     if A is not None:
         AV = A @ V
-        # rho_var >= 0 up to fp noise (variance of rotated EO data).
-        rho_var = jnp.abs(jnp.sum(V * AV, axis=0) - VtF**2)
+        # rho_var >= 0 up to fp noise (variance of rotated EO data); floor
+        # at the dtype's tiny so exact-zero null modes give snr = 0 rather
+        # than 0/0 = NaN.
+        rho_var = jnp.maximum(jnp.abs(jnp.sum(V * AV, axis=0) - VtF**2),
+                              jnp.finfo(VtF.dtype).tiny)
         snr = jnp.sqrt(jnp.abs(n_samples * VtF**2 / rho_var))
         if cfg.use_snr:
             regularizer = regularizer * soft_cutoff(snr, cfg.snr_tol)
 
     update = V @ (inv_ev * regularizer * VtF)
     return update, ev, snr, VtF
+
+
+def _lambda_max(S, n_iter: int = 12):
+    """Largest eigenvalue via power iteration (O(n_iter * P^2))."""
+    v = jnp.ones((S.shape[0],), dtype=S.dtype) / math.sqrt(S.shape[0])
+
+    def body(_, v):
+        w = S @ v
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, n_iter, body, v)
+    return v @ (S @ v)
+
+
+def _solve_cholesky(S, F, cfg: TDVPConfig):
+    """Tikhonov-regularized direct solve for large parameter counts:
+    (S + svd_tol * lambda_max * I) du = F. Matches the eigh path's
+    suppression of modes below svd_tol * lambda_max (a soft spectral filter
+    ev/(ev + lam) instead of the sixth-power sigmoid) at O(P^3/3) Cholesky
+    cost with no eigendecomposition. Returns (update, lambda_max)."""
+    lam_max = _lambda_max(S)
+    lam = cfg.svd_tol * lam_max
+    A = S + lam * jnp.eye(S.shape[0], dtype=S.dtype)
+    L = jnp.linalg.cholesky(A)
+    update = jax.scipy.linalg.cho_solve((L, True), F)
+    return update, lam_max
 
 
 def _ball_volume(dim: int, radius: float) -> float:
@@ -152,6 +196,19 @@ class TDVP:
 
         flat, unravel = score.flat_param_view(state.params)
         self.n_params = int(flat.size)
+
+        if cfg.solver_method == "auto":
+            method = "eigh" if self.n_params <= cfg.eigh_max_params \
+                else "cholesky"
+        else:
+            method = cfg.solver_method
+        if method not in ("eigh", "cholesky"):
+            raise ValueError(f"unknown solver_method {method!r}")
+        self.solver_method = method
+        if method == "cholesky" and (cfg.compute_snr or cfg.use_snr):
+            # no spectrum -> no per-mode SNR
+            cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False)
+            self.cfg = cfg
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
         self._hess_idx = equation.hessian_coords(self.flow.dim)
@@ -203,16 +260,20 @@ class TDVP:
         O_c = O - o_mean
 
         cdt = self.precision.compute
+        mp = stats.PRECISIONS[cfg.gram_precision]
         F0 = (e_c @ O_c) / n
-        S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt)
+        S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
+                                        precision=mp)
         S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
 
         A = None
         if cfg.compute_snr or cfg.use_snr:
-            A = stats.weighted_second_moment_matrix(O_c, e_c**2, cdt)
+            A = stats.weighted_second_moment_matrix(O_c, e_c**2, cdt,
+                                                    precision=mp)
         SExp = None
         if cfg.compute_sexp:
-            SExp = stats.weighted_second_moment_matrix(O_c, logp**2, cdt)
+            SExp = stats.weighted_second_moment_matrix(O_c, logp**2, cdt,
+                                                       precision=mp)
 
         return dict(
             logp=logp,
@@ -238,6 +299,7 @@ class TDVP:
         n_chunks = n // c
         P = self.n_params
         cdt = self.precision.compute
+        mp = stats.PRECISIONS[cfg.gram_precision]
 
         # Pilot estimates from the first chunk: shift constants only --
         # exactness does not depend on them.
@@ -260,7 +322,7 @@ class TDVP:
                 sum_EO=carry["sum_EO"] + es @ Os,
                 sum_OO=carry["sum_OO"]
                 + jnp.matmul(Os.T, Os, preferred_element_type=cdt,
-                             precision=stats.GRAM_PRECISION),
+                             precision=mp),
                 sum_logp=carry["sum_logp"] + jnp.sum(logp),
             )
             if want_A:
@@ -268,11 +330,11 @@ class TDVP:
                 upd["sum_E2O"] = carry["sum_E2O"] + w @ Os
                 upd["sum_E2OO"] = carry["sum_E2OO"] + jnp.matmul(
                     Os.T, Os * w[:, None], preferred_element_type=cdt,
-                    precision=stats.GRAM_PRECISION,
+                    precision=mp,
                 )
                 upd["sum_EOO"] = carry["sum_EOO"] + jnp.matmul(
                     Os.T, Os * es[:, None], preferred_element_type=cdt,
-                    precision=stats.GRAM_PRECISION,
+                    precision=mp,
                 )
             if cfg.compute_sexp:
                 w = logp**2
@@ -280,7 +342,7 @@ class TDVP:
                 upd["sum_l2O"] = carry["sum_l2O"] + w @ Os
                 upd["sum_l2OO"] = carry["sum_l2OO"] + jnp.matmul(
                     Os.T, Os * w[:, None], preferred_element_type=cdt,
-                    precision=stats.GRAM_PRECISION,
+                    precision=mp,
                 )
             return upd, (logp, eloc)
 
@@ -434,10 +496,18 @@ class TDVP:
         sdt = self.precision.solve
         aux = {}
         if cfg.solve_on_device:
-            update, ev, snr, _ = _solve_regularized(
-                S.astype(sdt), F0.astype(sdt), cfg, n,
-                A=None if st["A"] is None else st["A"].astype(sdt),
-            )
+            if self.solver_method == "eigh":
+                update, ev, snr, _ = _solve_regularized(
+                    S.astype(sdt), F0.astype(sdt), cfg, n,
+                    A=None if st["A"] is None else st["A"].astype(sdt),
+                )
+                aux["ev"] = ev
+                aux["snr"] = snr if snr is not None else jnp.zeros_like(ev)
+            else:
+                update, lam_max = _solve_cholesky(
+                    S.astype(sdt), F0.astype(sdt), cfg
+                )
+                aux["lambda_max"] = lam_max
             residual = jnp.linalg.norm(
                 S.astype(sdt) @ update - F0.astype(sdt)
             ) / jnp.linalg.norm(F0.astype(sdt))
@@ -445,13 +515,8 @@ class TDVP:
                 update @ S0.astype(sdt) @ update
                 - 2.0 * F0.astype(sdt) @ update
             ) / st["eloc_sq_mean"].astype(sdt)
-            aux.update(
-                update=update,
-                ev=ev,
-                snr=snr if snr is not None else jnp.zeros_like(ev),
-                solver_res=residual,
-                tdvp_error=tdvp_error,
-            )
+            aux.update(update=update, solver_res=residual,
+                       tdvp_error=tdvp_error)
         else:
             aux.update(S=S, S0=S0, F0=F0, A=st["A"],
                        eloc_sq_mean=st["eloc_sq_mean"])
@@ -515,16 +580,11 @@ class TDVP:
 
         if not self.cfg.solve_on_device:
             aux = dict(aux)
-            update, ev, snr, residual, tdvp_error = self._host_solve(aux)
-            aux.update(
-                update=update, ev=ev,
-                snr=snr if snr is not None else np.zeros_like(ev),
-                solver_res=residual, tdvp_error=tdvp_error,
-            )
+            aux.update(self._host_solve(aux))
 
         # Reference diagnostic attribute contract (tdvp.py:127, main.py:186-189).
-        self.ev = aux["ev"]
-        self.snr = aux["snr"]
+        self.ev = aux.get("ev")
+        self.snr = aux.get("snr")
         self.solverResidual = aux["solver_res"]
         self.tdvp_error = aux["tdvp_error"]
         self.ElocMean = aux["eloc_mean"]
@@ -536,19 +596,31 @@ class TDVP:
         return update, aux
 
     def _host_solve(self, aux):
-        """Host f64 eigensolve (the reference's default path, tdvp.py:60-64)."""
+        """Host f64 solve (the reference's default path, tdvp.py:60-64)."""
         S = np.asarray(aux.pop("S"), dtype=np.float64)
         S0 = np.asarray(aux.pop("S0"), dtype=np.float64)
         F0 = np.asarray(aux.pop("F0"), dtype=np.float64)
         A = aux.pop("A")
         A = None if A is None else np.asarray(A, dtype=np.float64)
         e2 = float(aux.pop("eloc_sq_mean"))
-        update, ev, snr, _ = _solve_regularized(
-            S, F0, self.cfg, self.n_samples, A=A, eigh_fn=np.linalg.eigh
-        )
+        out = {}
+        if self.solver_method == "eigh":
+            update, ev, snr, _ = _solve_regularized(
+                S, F0, self.cfg, self.n_samples, A=A, eigh_fn=np.linalg.eigh
+            )
+            out["ev"] = ev
+            out["snr"] = snr if snr is not None else np.zeros_like(ev)
+        else:
+            lam_max = float(np.linalg.norm(S, 2)) if S.shape[0] <= 512 else \
+                float(_lambda_max(jnp.asarray(S)))
+            lam = self.cfg.svd_tol * lam_max
+            update = np.linalg.solve(S + lam * np.eye(S.shape[0]), F0)
+            out["lambda_max"] = lam_max
         residual = np.linalg.norm(S @ update - F0) / np.linalg.norm(F0)
         tdvp_error = 1.0 + (update @ S0 @ update - 2.0 * F0 @ update) / e2
-        return update, ev, snr, residual, tdvp_error
+        out.update(update=update, solver_res=residual,
+                   tdvp_error=tdvp_error)
+        return out
 
     # Stepper norm (main.py:24-26): v S v in the SExp metric.
     def s_metric_norm(self, v, S):

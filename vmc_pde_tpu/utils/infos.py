@@ -13,11 +13,16 @@ import numpy as np
 
 
 class InfoRecorder:
+    """Accumulates per-step diagnostics WITHOUT forcing device->host
+    synchronization: values are stored as-is (device arrays stay device
+    arrays, letting the step loop run ahead of the host) and materialized
+    in one bulk transfer by ``as_arrays``/``flush``."""
+
     def __init__(self):
         self.infos = {}
 
     def append(self, key: str, value):
-        self.infos.setdefault(key, []).append(np.asarray(value))
+        self.infos.setdefault(key, []).append(value)
 
     def append_dict(self, d: dict):
         for k, v in d.items():
@@ -25,7 +30,15 @@ class InfoRecorder:
                 continue
             self.append(k, v)
 
+    def flush(self):
+        """Materialize everything recorded so far to host numpy (one bulk
+        device transfer)."""
+        import jax
+
+        self.infos = jax.device_get(self.infos)
+
     def as_arrays(self):
+        self.flush()
         return {k: np.asarray(v) for k, v in self.infos.items()}
 
 
