@@ -127,3 +127,50 @@ def test_pretrain_decreases_loss(ctx1):
     data, target = gen_data((2000, 2), mode="standard_normal", std=1.4)
     losses = train(st, data, batchsize=200, epochs=8, lr=3e-3)
     assert losses[-1] < losses[0]
+
+
+def test_driver_checkpoint_resume(tmp_path):
+    """A checkpointed run resumes from where it stopped (params, t, dt)."""
+    from vmc_pde_tpu.utils.checkpoint import latest_checkpoint
+
+    cfg = preset(
+        "mwe", n_samples_tdvp=256, n_samples_obs=256, dt0=1e-3,
+        t_end=1.0, precision="f64", verbose=False, grid_points=50,
+        workdir=str(tmp_path), checkpoint_every=2,
+    )
+    state1, rec1 = run(cfg, max_steps=6)
+    ck = latest_checkpoint(str(tmp_path))
+    assert ck is not None and ck["step"] >= 4
+
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, resume=True)
+    state2, rec2 = run(cfg2, max_steps=3)
+    infos2 = rec2.as_arrays()
+    # resumed run starts at the checkpointed time, not t=0
+    assert infos2["times"][0] >= ck["t"] - 1e-12
+
+
+@pytest.mark.slow
+def test_e2e_harmonic_oscillator_rotation():
+    """Liouville transport under the harmonic flow: the distribution mean
+    follows the classical trajectory x(t) = cos(t) x0 + sin(t) p0,
+    p(t) = -sin(t) x0 + cos(t) p0 (here (x0,p0) = (1,1))."""
+    cfg = preset(
+        "harmonicOsc",
+        n_samples_tdvp=4096,
+        n_samples_obs=4096,
+        dt0=1e-3,
+        t_end=0.25,
+        precision="f64",
+        verbose=False,
+        grid_points=60,
+    )
+    state, rec = run(cfg)
+    infos = rec.as_arrays()
+    t = infos["times"][-1]
+    mean = infos["x1"][-1]
+    expected = np.array([np.cos(t) + np.sin(t), np.cos(t) - np.sin(t)])
+    np.testing.assert_allclose(mean, expected, atol=0.06)
+    # volume-preserving flow: entropy is conserved
+    assert abs(infos["entropy"][-1] - infos["entropy"][0]) < 0.05

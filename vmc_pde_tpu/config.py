@@ -70,6 +70,7 @@ class RunConfig:
     plot_every: float = 1.0
     workdir: Optional[str] = None
     checkpoint_every: int = 0       # steps; 0 = off
+    resume: bool = False            # resume from workdir's latest checkpoint
     verbose: bool = True
 
     def hidden_resolved(self) -> Tuple[int, ...]:

@@ -146,10 +146,23 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     key = jax.random.PRNGKey(cfg.sample_seed + 7)
     plotted = set()
 
+    if cfg.resume and wdir:
+        from .utils.checkpoint import latest_checkpoint
+
+        ck = latest_checkpoint(wdir)
+        if ck is not None:
+            theta = jnp.asarray(ck["theta"], dtype=state.precision.master)
+            state.set_parameters(theta)
+            t, n_step, stepper.dt = ck["t"], ck["step"], ck["dt"]
+            key = jax.random.fold_in(key, n_step)
+            if cfg.verbose:
+                print(f"resumed from step {n_step}, t={t:.4f}")
+
     if grid is not None and cfg.verbose:
         print("Initial grid integral:", float(state.integrate(grid)))
 
-    while t < cfg.t_end + dt and n_step < max_steps:
+    steps_done = 0
+    while t < cfg.t_end + dt and steps_done < max_steps:
         t0 = time.perf_counter()
         key, step_key = jax.random.split(key)
         res = stepper.step(t, f, theta, step_key,
@@ -184,13 +197,15 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
 
         if cfg.checkpoint_every and n_step % cfg.checkpoint_every == 0 and wdir:
             from .utils.checkpoint import save_checkpoint
-            save_checkpoint(wdir, n_step, t, theta, stepper.dt)
+            # theta is the solution at t + dt (the step just completed)
+            save_checkpoint(wdir, n_step + 1, t + dt, theta, stepper.dt)
 
         for cb in callbacks:
             cb(n_step, t, state, info)
 
         t += dt
         n_step += 1
+        steps_done += 1
 
     check_nan()
     rec.flush()
