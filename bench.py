@@ -148,7 +148,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chunk", type=int, default=2048,
                     help="streaming Gram chunk size (0 = direct)")
-    ap.add_argument("--gram-precision", type=str, default="highest",
+    ap.add_argument("--gram-precision", type=str, default="high",
                     choices=["highest", "high", "default"])
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky"])
@@ -184,7 +184,9 @@ def main():
 
     vs = 1.0
     if not args.no_baseline:
-        dt_ref = bench_reference_style(state, tdvp, max(args.iters // 2, 1))
+        # one timed iteration: the baseline's host f64 eigensolve alone is
+        # minutes at large P (that cost is the point of the comparison)
+        dt_ref = bench_reference_style(state, tdvp, 1)
         sps_ref = tdvp.n_samples / dt_ref / n_chips
         vs = dt_ref / dt_fused
         log(f"reference-style: {dt_ref * 1e3:.2f} ms/rhs -> "

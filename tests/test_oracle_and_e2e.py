@@ -174,3 +174,20 @@ def test_e2e_harmonic_oscillator_rotation():
     np.testing.assert_allclose(mean, expected, atol=0.06)
     # volume-preserving flow: entropy is conserved
     assert abs(infos["entropy"][-1] - infos["entropy"][0]) < 0.05
+
+
+@pytest.mark.slow
+def test_e2e_adaptive_stepper_mwe():
+    """AdaptiveHeun with the S-metric norm (main.py:24-26) drives the mwe
+    workload: dt adapts and the physics stays on the analytic curve."""
+    cfg = preset(
+        "mwe", n_samples_tdvp=2048, n_samples_obs=2048,
+        stepper="adaptive_heun", dt0=1e-4, tol=1e-2, max_step=5e-2,
+        t_end=0.15, precision="f64", verbose=False, grid_points=50,
+    )
+    state, rec = run(cfg, max_steps=60)
+    infos = rec.as_arrays()
+    t_final = infos["times"][-1]
+    assert t_final > 0.05  # dt grew beyond the initial 1e-4
+    S_exact = gauss_diffusion_entropy(infos["times"], dim=2)
+    assert np.abs(infos["entropy"] - S_exact).max() < 0.08

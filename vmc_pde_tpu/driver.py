@@ -226,6 +226,9 @@ def main(argv=None):
     p.add_argument("--workdir", type=str, default=None)
     p.add_argument("--precision", type=str, default=None)
     p.add_argument("--max-steps", type=int, default=10**9)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the workdir's latest checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=0)
     args = p.parse_args(argv)
 
     overrides = {}
@@ -238,6 +241,10 @@ def main(argv=None):
         overrides["workdir"] = args.workdir
     if args.precision is not None:
         overrides["precision"] = args.precision
+    if args.resume:
+        overrides["resume"] = True
+    if args.checkpoint_every:
+        overrides["checkpoint_every"] = args.checkpoint_every
 
     cfg = preset(args.mode, **overrides)
     run(cfg, max_steps=args.max_steps)

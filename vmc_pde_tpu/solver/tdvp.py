@@ -71,9 +71,10 @@ class TDVPConfig:
     solver_method: str = "auto"
     eigh_max_params: int = 2048
     # MXU pass count for the Gram contractions: "highest" (6-pass f32
-    # equivalent), "high" (3-pass, ~2x faster), "default" (1-pass bf16 --
-    # too coarse for the spectral solve, usable with cholesky + large tol).
-    gram_precision: str = "highest"
+    # equivalent), "high" (3-pass, ~2x faster at identical measured residual
+    # -- 3-pass rounding sits far below the f32 tolerance floor), "default"
+    # (1-pass bf16: too coarse for the spectral solve).
+    gram_precision: str = "high"
     # Floor svd_tol/eig_cutoff at multiples of the compute dtype's epsilon:
     # the reference tolerances assume f64 statistics; with an f32 compute
     # path, Gram eigenvalue noise sits at ~eps * ev_max and must be cut.
