@@ -68,10 +68,13 @@ def bench_fused(state, tdvp, iters):
     jax.block_until_ready(u)
     log(f"fused compile+first run: {time.perf_counter() - t0:.1f}s, "
         f"residual {float(aux['solver_res']):.2e}")
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     for i in range(iters):
         u, _ = tdvp.rhs(theta, 0.0, key, intStep=i + 1)
-    jax.block_until_ready(u)
+        float(jnp.sum(u))  # force materialization (block_until_ready has
+        # been observed to return early through the remote-device path)
     return (time.perf_counter() - t0) / iters
 
 

@@ -89,3 +89,41 @@ def train(
 
     state.params = params
     return losses
+
+
+def main(argv=None):
+    """CLI: fit a fresh flow to a synthetic dataset and report the KL-ish
+    losses (the reference's train.py workflow, main.py:120-125)."""
+    import argparse
+
+    import jax
+
+    from ..models.state import make_var_state
+    from ..parallel.mesh import ParallelCtx
+    from ..utils.dtypes import resolve
+
+    p = argparse.ArgumentParser(description="supervised flow pre-training")
+    p.add_argument("--dim", type=int, default=2)
+    p.add_argument("--mode", choices=["standard_normal", "normal_superpos"],
+                   default="standard_normal")
+    p.add_argument("--std", type=float, default=1.0)
+    p.add_argument("--n", type=int, default=10000)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batchsize", type=int, default=100)
+    p.add_argument("--precision", default="f32")
+    args = p.parse_args(argv)
+
+    prec = resolve(args.precision)
+    state = make_var_state(1, args.dim, depth=4, variant="affine",
+                           ctx=ParallelCtx.create(), precision=prec)
+    data, target = gen_data((args.n, args.dim), mode=args.mode, std=args.std)
+    data = data.astype(prec.compute)
+    losses = train(state, data, batchsize=args.batchsize,
+                   epochs=args.epochs, lr=args.lr, verbose=True)
+    print(f"loss: {losses[0]:.4f} -> {losses[-1]:.4f}")
+    return losses
+
+
+if __name__ == "__main__":
+    main()
