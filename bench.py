@@ -154,7 +154,7 @@ def main():
     ap.add_argument("--gram-precision", type=str, default="high",
                     choices=["highest", "high", "default"])
     ap.add_argument("--solver", type=str, default="auto",
-                    choices=["auto", "eigh", "cholesky"])
+                    choices=["auto", "eigh", "cholesky", "cg"])
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--no-baseline", action="store_true")

@@ -193,3 +193,39 @@ def test_nan_flag(ctx1):
     bad = jnp.asarray(theta).at[0].set(jnp.nan)
     _, aux = tdvp.rhs(bad, 0.0, jax.random.PRNGKey(7))
     assert bool(aux["nan"])
+
+
+def test_cg_solver_matches_cholesky(ctx1):
+    """Matrix-free CG must agree with the dense Tikhonov solve (at a
+    tolerance where the system's condition number ~1/svd_tol is within
+    CG's iteration budget -- the f32-regime setting CG is built for)."""
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    cfg_c = TDVPConfig(solver_method="cholesky", svd_tol=1e-5)
+    cfg_g = TDVPConfig(solver_method="cg", svd_tol=1e-5, cg_maxiter=600,
+                       cg_tol=1e-10)
+    st, t_c = make_problem(ctx1, dim=2, n=4096, cfg=cfg_c)
+    _, t_g = make_problem(ctx1, dim=2, n=4096, cfg=cfg_g)
+    key = jax.random.PRNGKey(31)
+    theta = st.get_parameters()
+    u_c, a_c = t_c.rhs(theta, 0.0, key)
+    u_g, a_g = t_g.rhs(theta, 0.0, key)
+    cos = float(u_c @ u_g / (jnp.linalg.norm(u_c) * jnp.linalg.norm(u_g)))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(float(jnp.linalg.norm(u_g - u_c))
+                               / float(jnp.linalg.norm(u_c)), 0.0, atol=2e-2)
+    assert float(a_g["solver_res"]) < 1e-3
+    np.testing.assert_allclose(float(a_g["lambda_max"]),
+                               float(a_c["lambda_max"]), rtol=1e-3)
+
+
+def test_cg_solver_config_validation(ctx1):
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    with pytest.raises(ValueError):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(solver_method="cg", chunk_size=512))
+    with pytest.raises(ValueError):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(solver_method="cg",
+                                    solve_on_device=False))

@@ -137,3 +137,23 @@ class ParallelCtx:
 def default_ctx() -> ParallelCtx:
     """All available devices on the dp axis."""
     return ParallelCtx.create()
+
+
+def broadcast_from_coordinator(tree):
+    """Replacement for the reference's MPI broadcast
+    (mpi_wrapper.bcast_unknown_size, mpi_wrapper.py:277-306): make every
+    process see the coordinator's value. No-op on a single process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+def sync_global_devices(name: str = "barrier") -> None:
+    """Cross-process barrier (replaces implicit MPI synchronization)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

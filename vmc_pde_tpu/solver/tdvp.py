@@ -66,10 +66,16 @@ class TDVPConfig:
     # for everything else combined). "cholesky" solves the Tikhonov system
     # (S + svd_tol * lambda_max * I) du = F with a power-iteration
     # lambda_max estimate -- the same soft small-mode suppression without
-    # the spectrum (so no per-mode ev/snr diagnostics). "auto" picks eigh
-    # up to ``eigh_max_params`` and cholesky beyond.
+    # the spectrum (so no per-mode ev/snr diagnostics). "cg" goes fully
+    # MATRIX-FREE: Jacobi-preconditioned conjugate gradients on the same
+    # Tikhonov system using only O-matvecs S v = Obar^T (Obar v)/N -- the
+    # O(N P^2) Gram and the O(P^2) matrix never materialize (requires the
+    # direct stats path, chunk_size = 0). "auto" picks eigh up to
+    # ``eigh_max_params`` and cholesky beyond.
     solver_method: str = "auto"
     eigh_max_params: int = 2048
+    cg_maxiter: int = 250
+    cg_tol: float = 1e-7
     # MXU pass count for the Gram contractions: "highest" (6-pass f32
     # equivalent), "high" (3-pass, ~2x faster at identical measured residual
     # -- 3-pass rounding sits far below the f32 tolerance floor), "default"
@@ -150,6 +156,42 @@ def _solve_cholesky(S, F, cfg: TDVPConfig):
     return update, lam_max
 
 
+def _solve_cg(O_c, e_c, cfg: TDVPConfig, precision):
+    """Matrix-free Tikhonov solve: (Obar^T Obar / N + lam I) u = F with
+    Jacobi preconditioning. Every operation is an (N, P) matvec -- the Gram
+    matrix is never formed. Returns (update, F, lam_max, matvec)."""
+    n = O_c.shape[0]
+
+    def sv(v):
+        return jnp.matmul(
+            jnp.matmul(O_c, v, precision=precision), O_c,
+            precision=precision,
+        ) / n  # (O_c v)^T O_c == O_c^T (O_c v), one row-vector matmul each
+
+    F = jnp.matmul(e_c, O_c, precision=precision) / n
+
+    # power iteration for lambda_max (matvec-only)
+    v0 = jnp.ones_like(F) / math.sqrt(F.shape[0])
+
+    def body(_, v):
+        w = sv(v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, 12, body, v0)
+    lam_max = v @ sv(v)
+    lam = cfg.svd_tol * lam_max
+
+    def mv(u):
+        return sv(u) + lam * u
+
+    diag = jnp.mean(O_c * O_c, axis=0) + lam  # Jacobi preconditioner
+    minv = lambda r: r / diag
+    update, _ = jax.scipy.sparse.linalg.cg(
+        mv, F, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter, M=minv
+    )
+    return update, F, lam_max, sv
+
+
 def _ball_volume(dim: int, radius: float) -> float:
     return math.pi ** (dim / 2) / math.gamma(dim / 2 + 1) * radius**dim
 
@@ -203,12 +245,20 @@ class TDVP:
                 else "cholesky"
         else:
             method = cfg.solver_method
-        if method not in ("eigh", "cholesky"):
+        if method not in ("eigh", "cholesky", "cg"):
             raise ValueError(f"unknown solver_method {method!r}")
+        if method == "cg" and cfg.chunk_size:
+            raise ValueError("solver_method='cg' is matrix-free over the "
+                             "materialized O matrix; use chunk_size=0")
+        if method == "cg" and not cfg.solve_on_device:
+            raise ValueError("solver_method='cg' runs on device only")
         self.solver_method = method
-        if method == "cholesky" and (cfg.compute_snr or cfg.use_snr):
-            # no spectrum -> no per-mode SNR
-            cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False)
+        if method != "eigh" and (cfg.compute_snr or cfg.use_snr
+                                 or cfg.compute_sexp):
+            # no spectrum -> no per-mode SNR; cg also has no SExp matrix
+            keep_sexp = cfg.compute_sexp and method == "cholesky"
+            cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False,
+                                      compute_sexp=keep_sexp)
             self.cfg = cfg
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
@@ -483,6 +533,11 @@ class TDVP:
         x = jax.lax.stop_gradient(x)
         x = self.ctx.constrain(x, self.ctx.samples_spec)
 
+        # Matrix-free path: no Gram matrix at all, just O-matvecs.
+        if self.solver_method == "cg":
+            return self._rhs_cg(theta_c, t, x, params, k_obs, k_int,
+                                z_obs_ext, n, n_obs)
+
         # STATS: Eloc, force, Gram (+SNR/SExp second moments).
         if cfg.chunk_size and cfg.chunk_size < n:
             st = self._chunked_stats(theta_c, t, x)
@@ -552,6 +607,56 @@ class TDVP:
         aux["nan"] = jnp.any(
             jnp.isnan(aux["update"] if "update" in aux else F0)
         )
+        return aux
+
+    def _rhs_cg(self, theta_c, t, x, params, k_obs, k_int, z_obs_ext,
+                n, n_obs):
+        """Matrix-free RHS: per-sample batch -> Jacobi-preconditioned CG on
+        the Tikhonov normal equations, never forming S. O(N P) memory and
+        O(iters * N P) flops instead of O(N P^2) -- the scaling path for
+        very large parameter counts."""
+        cfg = self.cfg
+        logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        O = self.ctx.constrain(O, self.ctx.osample_spec)
+        eloc_mean = stats.mean(eloc)
+        e_c = eloc - eloc_mean
+        O_c = O - stats.mean(O, axis=0)
+
+        mp = stats.PRECISIONS[cfg.gram_precision]
+        update, F0, lam_max, sv = _solve_cg(O_c, e_c, cfg, mp)
+
+        # residual and TDVP error via matvecs (S0 u = sv(u))
+        s_u = sv(update)
+        lam = cfg.svd_tol * lam_max
+        residual = jnp.linalg.norm(s_u + lam * update - F0) \
+            / jnp.linalg.norm(F0)
+        eloc_sq_mean = stats.mean(eloc**2)
+        tdvp_error = 1.0 + (update @ s_u - 2.0 * F0 @ update) / eloc_sq_mean
+
+        aux = dict(
+            update=update, solver_res=residual, tdvp_error=tdvp_error,
+            lambda_max=lam_max, eloc_mean=eloc_mean,
+            eloc_abs_mean=stats.mean(jnp.abs(eloc)),
+            eloc_var=stats.variance(eloc), max_grad=jnp.max(eloc),
+        )
+
+        if cfg.observables:
+            if n_obs > n:
+                if z_obs_ext is None:
+                    z_o = self.flow.latent_sample(
+                        k_obs, params, n_obs, dtype=theta_c.dtype)
+                else:
+                    z_o = z_obs_ext
+                z_o = self.ctx.constrain(z_o, self.ctx.samples_spec)
+                x_o, logp_o = jax.vmap(self.flow.push, in_axes=(None, 0))(
+                    params, z_o)
+            else:
+                x_o, logp_o = x, logp
+            aux["_params"] = params
+            aux = self._observables(x_o, logp_o, k_int, aux)
+            del aux["_params"]
+
+        aux["nan"] = jnp.any(jnp.isnan(update))
         return aux
 
     # ------------------------------------------------------------------
