@@ -139,10 +139,10 @@ def test_observable_budget_resampling(ctx1):
                 n_samples=512, n_samples_obs=4096, precision=prec)
     _, aux = tdvp.rhs(st.get_parameters(), 0.0, jax.random.PRNGKey(6))
     # 2D standard normal: P(|x| < r) = 1 - exp(-r^2/2); integral keys exist
-    assert "integral_1.0sigma" in aux and "integral_0.1sigma" in aux
+    assert "integral_1sigma" in aux and "integral_0.1sigma" in aux
     r = np.sqrt(10.0)
     expected = 1 - np.exp(-(r**2) / 2)
-    np.testing.assert_allclose(float(aux["integral_1.0sigma"]), expected,
+    np.testing.assert_allclose(float(aux["integral_1sigma"]), expected,
                                rtol=0.1)
 
 

@@ -128,6 +128,9 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
             update, aux = tdvp.rhs(theta, t, key, intStep=intStep)
             if cfg.verbose:
                 jax.block_until_ready(update)
+        # AdaptiveHeun reads the S-metric off the rhs callable
+        # (stepper.py:71 contract: normFunction(dy1 - dy0, f.SExp))
+        f.SExp = tdvp.SExp
         pending_nan.append((aux["nan"], t))
         return update, aux
 

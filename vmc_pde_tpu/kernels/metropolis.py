@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INV24 = 1.0 / (1 << 24)
+SWEEPS_PER_BLOCK = 8  # static unroll per grid step; sweep counts round up
 
 
 def _uniforms(rows, n_chains):
@@ -131,7 +132,7 @@ def metropolis_chain_pallas(
     offset_arr = jnp.asarray(
         np.asarray(offset, dtype=np.float32).reshape(dim, 1))
 
-    K = 8  # sweeps per grid step (static unroll)
+    K = SWEEPS_PER_BLOCK
     n_steps = ((int(n_steps) + K - 1) // K) * K
 
     call = _build_call(log_prob, n_steps, int(n_chains), int(dim),

@@ -28,6 +28,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import latent as latent_mod
 from ..parallel.mesh import ParallelCtx
@@ -201,8 +202,12 @@ class Sampler:
     def _sample_mcmc_pallas(self, key, n_total: int, n_steps: int):
         """TPU-resident path: the whole chain ensemble runs inside one
         Pallas kernel with the hardware PRNG (kernels/metropolis.py)."""
-        from ..kernels.metropolis import metropolis_chain_pallas
+        from ..kernels.metropolis import (SWEEPS_PER_BLOCK,
+                                          metropolis_chain_pallas)
 
+        # the kernel rounds the sweep count up to whole blocks; account for
+        # the actually-proposed sweeps so acceptance_rate stays in [0, 1]
+        n_steps_actual = -(-n_steps // SWEEPS_PER_BLOCK) * SWEEPS_PER_BLOCK
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         samples, self._states, n_acc = metropolis_chain_pallas(
             seed,
@@ -218,6 +223,7 @@ class Sampler:
         if samples.shape[0] > n_total:
             samples = samples[:n_total]
         self.last_info = MCSampleInfo(
-            num_proposed=n_steps * self.n_chains, num_accepted=int(n_acc)
+            num_proposed=n_steps_actual * self.n_chains,
+            num_accepted=int(n_acc),
         )
         return samples.astype(self.dtype)

@@ -90,8 +90,11 @@ class AdaptiveHeun:
             k11, _ = f(y3, t + dt, key, intStep=5 * attempt + 4)
             dy1 = dy1 + 0.25 * dt * (k01 + k11)
 
-            err = normFunction(dy1 - dy0, getattr(f, "SExp", None))
-            fe = self.tolerance / float(err)
+            err = float(normFunction(dy1 - dy0, getattr(f, "SExp", None)))
+            # err == 0 (fully-regularized / stationary update) accepts the
+            # step and grows dt, matching the reference's inf from jnp
+            # division (stepper.py:72)
+            fe = self.tolerance / err if err > 0.0 else float("inf")
 
             scale = max(0.2, min(2.0, 0.9 * fe ** (1.0 / 3.0)))
             real_dt = dt

@@ -100,7 +100,13 @@ def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
     (tdvp.py:57-91). A = E[Ebar^2 Obar^T Obar] feeds the per-mode SNR.
     Returns (update, ev, snr, VtF)."""
     ev, V = eigh_fn(S)
-    VtF = V.T @ F
+    _HI = jax.lax.Precision.HIGHEST if not isinstance(S, np.ndarray) else None
+    def _mm(a, b):
+        if _HI is None:
+            return a @ b
+        return jnp.matmul(a, b, precision=_HI)
+
+    VtF = _mm(V.T, F)
 
     ratio = jnp.abs(ev / ev[-1])
     inv_ev = jnp.where(ratio > cfg.eig_cutoff, 1.0 / ev, 0.0)
@@ -116,7 +122,7 @@ def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
 
     snr = None
     if A is not None:
-        AV = A @ V
+        AV = _mm(A, V)
         # rho_var >= 0 up to fp noise (variance of rotated EO data); floor
         # at the dtype's tiny so exact-zero null modes give snr = 0 rather
         # than 0/0 = NaN.
@@ -126,7 +132,7 @@ def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
         if cfg.use_snr:
             regularizer = regularizer * soft_cutoff(snr, cfg.snr_tol)
 
-    update = V @ (inv_ev * regularizer * VtF)
+    update = _mm(V, inv_ev * regularizer * VtF)
     return update, ev, snr, VtF
 
 
@@ -161,12 +167,17 @@ def _solve_cg(O_c, e_c, cfg: TDVPConfig, precision):
     Jacobi preconditioning. Every operation is an (N, P) matvec -- the Gram
     matrix is never formed. Returns (update, F, lam_max, matvec)."""
     n = O_c.shape[0]
+    diag_s = jnp.mean(O_c * O_c, axis=0)
 
     def sv(v):
-        return jnp.matmul(
+        out = jnp.matmul(
             jnp.matmul(O_c, v, precision=precision), O_c,
             precision=precision,
         ) / n  # (O_c v)^T O_c == O_c^T (O_c v), one row-vector matmul each
+        if cfg.diagonal_shift > 1e-10:
+            # diagonal shift S += shift * diag(S) (tdvp.py:50-51), matvec form
+            out = out + cfg.diagonal_shift * diag_s * v
+        return out
 
     F = jnp.matmul(e_c, O_c, precision=precision) / n
 
@@ -184,7 +195,9 @@ def _solve_cg(O_c, e_c, cfg: TDVPConfig, precision):
     def mv(u):
         return sv(u) + lam * u
 
-    diag = jnp.mean(O_c * O_c, axis=0) + lam  # Jacobi preconditioner
+    diag = diag_s + lam  # Jacobi preconditioner
+    if cfg.diagonal_shift > 1e-10:
+        diag = diag + cfg.diagonal_shift * diag_s
     minv = lambda r: r / diag
     update, _ = jax.scipy.sparse.linalg.cg(
         mv, F, tol=cfg.cg_tol, maxiter=cfg.cg_maxiter, M=minv
@@ -312,7 +325,7 @@ class TDVP:
 
         cdt = self.precision.compute
         mp = stats.PRECISIONS[cfg.gram_precision]
-        F0 = (e_c @ O_c) / n
+        F0 = jnp.matmul(e_c, O_c, precision=mp) / n
         S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
                                         precision=mp)
         S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
@@ -353,15 +366,17 @@ class TDVP:
         mp = stats.PRECISIONS[cfg.gram_precision]
 
         # Pilot estimates from the first chunk: shift constants only --
-        # exactness does not depend on them.
+        # exactness does not depend on them. The pilot batch is reused as
+        # the first accumulated chunk below (no recompute).
         logp0, eloc0, O0 = self._per_sample_batch(theta_c, x[:c], t)
         c_O = jax.lax.stop_gradient(jnp.mean(O0, axis=0))
         c_E = jax.lax.stop_gradient(jnp.mean(eloc0))
 
         want_A = cfg.compute_snr or cfg.use_snr
 
-        def chunk_fn(carry, xc):
-            logp, eloc, O = self._per_sample_batch(theta_c, xc, t)
+        def chunk_fn(carry, xc, batch=None):
+            logp, eloc, O = (batch if batch is not None
+                             else self._per_sample_batch(theta_c, xc, t))
             Os = O - c_O  # shifted
             es = eloc - c_E
             upd = dict(
@@ -370,7 +385,8 @@ class TDVP:
                 sum_absE=carry["sum_absE"] + jnp.sum(jnp.abs(eloc)),
                 sum_E2=carry["sum_E2"] + jnp.sum(es**2),
                 sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
-                sum_EO=carry["sum_EO"] + es @ Os,
+                sum_EO=carry["sum_EO"]
+                + jnp.matmul(es, Os, precision=mp),
                 sum_OO=carry["sum_OO"]
                 + jnp.matmul(Os.T, Os, preferred_element_type=cdt,
                              precision=mp),
@@ -378,7 +394,8 @@ class TDVP:
             )
             if want_A:
                 w = es**2
-                upd["sum_E2O"] = carry["sum_E2O"] + w @ Os
+                upd["sum_E2O"] = carry["sum_E2O"] + jnp.matmul(
+                    w, Os, precision=mp)
                 upd["sum_E2OO"] = carry["sum_E2OO"] + jnp.matmul(
                     Os.T, Os * w[:, None], preferred_element_type=cdt,
                     precision=mp,
@@ -390,7 +407,8 @@ class TDVP:
             if cfg.compute_sexp:
                 w = logp**2
                 upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
-                upd["sum_l2O"] = carry["sum_l2O"] + w @ Os
+                upd["sum_l2O"] = carry["sum_l2O"] + jnp.matmul(
+                    w, Os, precision=mp)
                 upd["sum_l2OO"] = carry["sum_l2OO"] + jnp.matmul(
                     Os.T, Os * w[:, None], preferred_element_type=cdt,
                     precision=mp,
@@ -416,11 +434,14 @@ class TDVP:
             zero["sum_l2O"] = jnp.zeros((P,), cdt)
             zero["sum_l2OO"] = jnp.zeros((P, P), cdt)
 
-        acc, (logp_all, eloc_all) = jax.lax.scan(
-            chunk_fn, zero, x.reshape(n_chunks, c, d)
+        # chunk 0 reuses the pilot batch; the scan handles chunks 1..n-1
+        acc0, (logp_first, eloc_first) = chunk_fn(
+            zero, None, batch=(logp0, eloc0, O0))
+        acc, (logp_rest, eloc_rest) = jax.lax.scan(
+            chunk_fn, acc0, x[c:].reshape(n_chunks - 1, c, d)
         )
-        logp = logp_all.reshape(n)
-        eloc = eloc_all.reshape(n)
+        logp = jnp.concatenate([logp_first[None], logp_rest]).reshape(n)
+        eloc = jnp.concatenate([eloc_first[None], eloc_rest]).reshape(n)
 
         # Un-shift. With y = O - c_O, f = E - c_E:
         #   m_y = E[y],  S0 = E[y^T y] - m_y^T m_y  (shift cancels exactly)
@@ -502,14 +523,15 @@ class TDVP:
                 jax.random.uniform(k_r, (n_int,), dtype=x.dtype) ** (1.0 / d)
             )
             unit_ball = dirs * radii[:, None]
-            for lim in (1.0, 0.5, 0.1):
+            for label, lim in (("1", 1.0), ("0.5", 0.5), ("0.1", 0.1)):
                 r = lim * math.sqrt(self.cfg.integral_T)
                 vol = _ball_volume(d, r)
                 pts = r * unit_ball
                 logp_pts = jax.vmap(self.flow.log_prob, in_axes=(None, 0))(
                     aux["_params"], pts
                 )
-                aux[f"integral_{lim}sigma"] = (
+                # key matches the reference infos schema (tdvp.py:162)
+                aux[f"integral_{label}sigma"] = (
                     jnp.mean(jnp.exp(logp_pts)) * vol
                 )
         return aux
@@ -687,6 +709,7 @@ class TDVP:
         if not self.cfg.solve_on_device:
             aux = dict(aux)
             aux.update(self._host_solve(aux))
+            aux["nan"] = bool(np.any(np.isnan(np.asarray(aux["update"]))))
 
         # Reference diagnostic attribute contract (tdvp.py:127, main.py:186-189).
         self.ev = aux.get("ev")
