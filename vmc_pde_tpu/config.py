@@ -71,6 +71,8 @@ class RunConfig:
     workdir: Optional[str] = None
     checkpoint_every: int = 0       # steps; 0 = off
     resume: bool = False            # resume from workdir's latest checkpoint
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace here
+    profile_steps: Tuple[int, int] = (5, 8)  # [start, end) steps to trace
     verbose: bool = True
 
     def hidden_resolved(self) -> Tuple[int, ...]:

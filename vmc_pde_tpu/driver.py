@@ -165,7 +165,17 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         print("Initial grid integral:", float(state.integrate(grid)))
 
     steps_done = 0
+    profiling = False
     while t < cfg.t_end + dt and steps_done < max_steps:
+        if cfg.profile_dir:
+            # jax.profiler trace over a step window (SURVEY.md section 5.1:
+            # the reference has wall-clock sections only, no profiler)
+            if steps_done == cfg.profile_steps[0] and not profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            elif steps_done == cfg.profile_steps[1] and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         t0 = time.perf_counter()
         key, step_key = jax.random.split(key)
         res = stepper.step(t, f, theta, step_key,
@@ -210,6 +220,8 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         n_step += 1
         steps_done += 1
 
+    if profiling:
+        jax.profiler.stop_trace()
     check_nan()
     rec.flush()
     if wdir and is_coordinator():
