@@ -229,3 +229,53 @@ def test_cg_solver_config_validation(ctx1):
         make_problem(ctx1, dim=2, n=1024,
                      cfg=TDVPConfig(solver_method="cg",
                                     solve_on_device=False))
+
+
+def test_chunk_budget_autorounding(ctx8):
+    """A chunk_size that does not divide the requested budget rounds the
+    budget UP to whole chunks (x the mesh block) instead of crashing at
+    trace time."""
+    cfg = TDVPConfig(chunk_size=384)
+    st, tdvp = make_problem(ctx8, dim=2, n=1000, cfg=cfg)
+    assert tdvp.n_samples % 384 == 0
+    assert tdvp.n_samples % 8 == 0  # still mesh-aligned
+    assert tdvp.n_samples >= 1000
+    u, aux = tdvp.rhs(st.get_parameters(), 0.0, jax.random.PRNGKey(11))
+    assert not bool(aux["nan"])
+    assert float(aux["solver_res"]) < 1e-6
+
+
+def test_cg_residual_semantics_match_cholesky(ctx1):
+    """solver_res means ||S u - F|| / ||F|| (unregularized S) for EVERY
+    solver_method: with matched svd_tol the cg and cholesky updates agree,
+    so their residual diagnostics must too (round-1 advisor finding)."""
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    cfg_c = TDVPConfig(solver_method="cholesky", svd_tol=1e-5)
+    cfg_g = TDVPConfig(solver_method="cg", svd_tol=1e-5, cg_maxiter=600,
+                       cg_tol=1e-10)
+    st, t_c = make_problem(ctx1, dim=2, n=4096, cfg=cfg_c)
+    _, t_g = make_problem(ctx1, dim=2, n=4096, cfg=cfg_g)
+    key = jax.random.PRNGKey(41)
+    theta = st.get_parameters()
+    _, a_c = t_c.rhs(theta, 0.0, key)
+    _, a_g = t_g.rhs(theta, 0.0, key)
+    res_c, res_g = float(a_c["solver_res"]), float(a_g["solver_res"])
+    # same definition on (nearly) the same update: the values agree and are
+    # NOT ~cg_tol (the old regularized-system residual was ~1e-10 here)
+    np.testing.assert_allclose(res_g, res_c, rtol=0.25)
+    assert res_g > 10 * cfg_g.cg_tol
+
+
+def test_cg_sexp_warns(ctx1):
+    """Requesting the SExp stepper metric with the matrix-free solver warns
+    that the adaptive S-metric norm degrades (round-1 advisor finding)."""
+    import warnings
+
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_problem(ctx1, dim=2, n=512,
+                     cfg=TDVPConfig(solver_method="cg", compute_sexp=True))
+    assert any("SExp" in str(x.message) for x in w)

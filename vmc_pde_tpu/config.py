@@ -41,12 +41,18 @@ class RunConfig:
     n_samples_tdvp: int = 10000
     n_samples_obs: int = 10000
 
-    # TDVP solver (tdvp.py:20-26)
+    # TDVP solver (tdvp.py:20-26 + the TPU-native solver strategy knobs;
+    # see TDVPConfig for semantics)
     use_snr: bool = False
     snr_tol: float = 2.0
     svd_tol: float = 1e-11
     diagonal_shift: float = 0.0
     solve_on_device: bool = True
+    solver_method: str = "auto"     # auto | eigh | cholesky | cg
+    eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
+    gram_precision: str = "high"    # highest | high | default (MXU passes)
+    cg_maxiter: int = 250
+    cg_tol: float = 1e-7
     chunk_size: int = 0
     integrals: bool = False
 
@@ -73,6 +79,7 @@ class RunConfig:
     resume: bool = False            # resume from workdir's latest checkpoint
     profile_dir: Optional[str] = None  # capture a jax.profiler trace here
     profile_steps: Tuple[int, int] = (5, 8)  # [start, end) steps to trace
+    nan_check_every: int = 10       # non-verbose NaN-abort sync cadence
     verbose: bool = True
 
     def hidden_resolved(self) -> Tuple[int, ...]:

@@ -65,11 +65,22 @@ def build_problem(cfg: RunConfig):
 
     equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
 
+    if cfg.stepper == "adaptive_heun" and cfg.solver_method == "cg":
+        raise ValueError(
+            "stepper='adaptive_heun' needs the SExp matrix for its S-metric "
+            "error norm; solver_method='cg' cannot provide it (use "
+            "'cholesky', 'eigh', or 'auto')"
+        )
     tdvp_cfg = TDVPConfig(
         use_snr=cfg.use_snr,
         snr_tol=cfg.snr_tol,
         svd_tol=cfg.svd_tol,
         diagonal_shift=cfg.diagonal_shift,
+        solver_method=cfg.solver_method,
+        eigh_max_params=cfg.eigh_max_params,
+        gram_precision=cfg.gram_precision,
+        cg_maxiter=cfg.cg_maxiter,
+        cg_tol=cfg.cg_tol,
         compute_sexp=(cfg.stepper == "adaptive_heun"),
         solve_on_device=cfg.solve_on_device,
         chunk_size=cfg.chunk_size,
@@ -195,7 +206,7 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
             print(f"\t > Solver Residual = {float(info['solver_res']):.3e}")
             print(f"\t > TDVP Error = {float(info['tdvp_error']):.3e}")
             print(f"\t > Entropy = {float(info['entropy']):.6f}")
-        elif n_step % 25 == 24:
+        elif n_step % max(cfg.nan_check_every, 1) == 0:
             check_nan()
 
         n = round(t / cfg.plot_every)
@@ -208,7 +219,10 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
             if cfg.verbose:
                 print("Grid integral:", integral)
 
-        if cfg.checkpoint_every and n_step % cfg.checkpoint_every == 0 and wdir:
+        if (cfg.checkpoint_every and n_step % cfg.checkpoint_every == 0
+                and wdir and is_coordinator()):
+            # coordinator-only: in a multi-host run every process sees the
+            # same theta and would race on the same paths
             from .utils.checkpoint import save_checkpoint
             # theta is the solution at t + dt (the step just completed)
             save_checkpoint(wdir, n_step + 1, t + dt, theta, stepper.dt)
@@ -244,6 +258,23 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the workdir's latest checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--solver", type=str, default=None,
+                   choices=["auto", "eigh", "cholesky", "cg"],
+                   help="linear-solver strategy (TDVPConfig.solver_method)")
+    p.add_argument("--gram-precision", type=str, default=None,
+                   choices=["highest", "high", "default"],
+                   help="MXU pass count for Gram/statistics matmuls")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help=">0: stream samples through the stats in chunks")
+    p.add_argument("--stepper", type=str, default=None,
+                   choices=["fixed_heun", "fixed_euler", "adaptive_heun"])
+    p.add_argument("--mesh-dp", type=int, default=None,
+                   help="sample-parallel mesh size (-1 = all devices)")
+    p.add_argument("--mesh-tp", type=int, default=None,
+                   help="parameter-parallel mesh size for the Gram result")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
 
     overrides = {}
@@ -260,6 +291,23 @@ def main(argv=None):
         overrides["resume"] = True
     if args.checkpoint_every:
         overrides["checkpoint_every"] = args.checkpoint_every
+    if args.solver is not None:
+        overrides["solver_method"] = args.solver
+    if args.gram_precision is not None:
+        overrides["gram_precision"] = args.gram_precision
+    if args.chunk_size is not None:
+        overrides["chunk_size"] = args.chunk_size
+    if args.stepper is not None:
+        overrides["stepper"] = args.stepper
+    if args.mesh_dp is not None:
+        overrides["mesh_dp"] = args.mesh_dp
+    if args.mesh_tp is not None:
+        overrides["mesh_tp"] = args.mesh_tp
+    if args.profile_dir is not None:
+        overrides["profile_dir"] = args.profile_dir
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+        overrides["sample_seed"] = args.seed
 
     cfg = preset(args.mode, **overrides)
     run(cfg, max_steps=args.max_steps)

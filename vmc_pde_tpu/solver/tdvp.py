@@ -136,16 +136,19 @@ def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
     return update, ev, snr, VtF
 
 
-def _lambda_max(S, n_iter: int = 12):
-    """Largest eigenvalue via power iteration (O(n_iter * P^2))."""
+def _lambda_max(S, n_iter: int = 12,
+                precision=jax.lax.Precision.HIGHEST):
+    """Largest eigenvalue via power iteration (O(n_iter * P^2)). The matvecs
+    carry explicit precision: lambda_max scales the Tikhonov shift, and the
+    TPU f32 matmul default (1-pass bf16) is too coarse for that role."""
     v = jnp.ones((S.shape[0],), dtype=S.dtype) / math.sqrt(S.shape[0])
 
     def body(_, v):
-        w = S @ v
+        w = jnp.matmul(S, v, precision=precision)
         return w / jnp.linalg.norm(w)
 
     v = jax.lax.fori_loop(0, n_iter, body, v)
-    return v @ (S @ v)
+    return v @ jnp.matmul(S, v, precision=precision)
 
 
 def _solve_cholesky(S, F, cfg: TDVPConfig):
@@ -240,6 +243,14 @@ class TDVP:
             if n_samples_obs is not None
             else self.n_samples
         )
+        if 0 < cfg.chunk_size < self.n_samples:
+            # The streaming path scans whole chunks; round the budget up to
+            # a multiple of lcm(chunk, sampler block) so any chunk_size is a
+            # valid configuration (budgets only ever grow, like the
+            # reference's distribute_sampling LCM rounding).
+            block = self.sampler.rounded_budget(1)
+            step = math.lcm(block, cfg.chunk_size)
+            self.n_samples = -(-self.n_samples // step) * step
 
         if cfg.auto_tol_floor:
             eps = float(jnp.finfo(self.precision.compute).eps)
@@ -270,6 +281,16 @@ class TDVP:
                                  or cfg.compute_sexp):
             # no spectrum -> no per-mode SNR; cg also has no SExp matrix
             keep_sexp = cfg.compute_sexp and method == "cholesky"
+            if cfg.compute_sexp and not keep_sexp:
+                import warnings
+
+                warnings.warn(
+                    "solver_method='cg' cannot provide the SExp matrix; an "
+                    "adaptive stepper's S-metric error norm will silently "
+                    "degrade to the plain 2-norm. Use solver_method="
+                    "'cholesky' (or 'eigh') with adaptive_heun.",
+                    stacklevel=2,
+                )
             cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False,
                                       compute_sexp=keep_sexp)
             self.cfg = cfg
@@ -359,7 +380,12 @@ class TDVP:
         cfg = self.cfg
         n, d = x.shape
         c = cfg.chunk_size
-        assert n % c == 0, "sample budget must divide chunk_size"
+        if n % c:
+            raise ValueError(
+                f"sample budget {n} is not a multiple of chunk_size {c} "
+                "(TDVP.__init__ rounds its own budgets; a hand-built call "
+                "must do the same)"
+            )
         n_chunks = n // c
         P = self.n_params
         cdt = self.precision.compute
@@ -506,7 +532,11 @@ class TDVP:
         mean = jnp.mean(x, axis=0)
         xc = x - mean
         aux["x1"] = mean
-        aux["covar"] = (xc.T @ xc) / x.shape[0]
+        # covar is the primary quantity validated against the SDE oracle;
+        # carry explicit precision per the project matmul invariant.
+        aux["covar"] = jnp.matmul(
+            xc.T, xc, precision=stats.PRECISIONS[self.cfg.gram_precision]
+        ) / x.shape[0]
         aux["entropy"] = -jnp.mean(logp)
         for m in (3, 4, 5, 6):
             aux[f"x{m}"] = jnp.mean(xc**m, axis=0)
@@ -647,11 +677,13 @@ class TDVP:
         mp = stats.PRECISIONS[cfg.gram_precision]
         update, F0, lam_max, sv = _solve_cg(O_c, e_c, cfg, mp)
 
-        # residual and TDVP error via matvecs (S0 u = sv(u))
+        # residual and TDVP error via matvecs (S0 u = sv(u)). The residual
+        # is measured against the UNREGULARIZED S, matching the eigh and
+        # Cholesky paths (and the reference, tdvp.py:94) -- including the
+        # Tikhonov term would make solver_res ~cg_tol by construction and
+        # incomparable across solver_method values.
         s_u = sv(update)
-        lam = cfg.svd_tol * lam_max
-        residual = jnp.linalg.norm(s_u + lam * update - F0) \
-            / jnp.linalg.norm(F0)
+        residual = jnp.linalg.norm(s_u - F0) / jnp.linalg.norm(F0)
         eloc_sq_mean = stats.mean(eloc**2)
         tdvp_error = 1.0 + (update @ s_u - 2.0 * F0 @ update) / eloc_sq_mean
 

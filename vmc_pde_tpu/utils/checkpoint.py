@@ -14,12 +14,21 @@ import os
 import numpy as np
 
 
+def _atomic_savez(path: str, **arrays):
+    """Write-to-temp + rename so a crash mid-write can never leave a
+    truncated checkpoint at the published path."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:  # file object: savez won't append ".npz"
+        np.savez(fh, **arrays)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(wdir: str, step: int, t: float, theta, dt: float):
     os.makedirs(wdir, exist_ok=True)
+    payload = dict(step=step, t=t, theta=np.asarray(theta), dt=dt)
     path = os.path.join(wdir, f"ckpt_{step:08d}.npz")
-    np.savez(path, step=step, t=t, theta=np.asarray(theta), dt=dt)
-    latest = os.path.join(wdir, "ckpt_latest.npz")
-    np.savez(latest, step=step, t=t, theta=np.asarray(theta), dt=dt)
+    _atomic_savez(path, **payload)
+    _atomic_savez(os.path.join(wdir, "ckpt_latest.npz"), **payload)
     return path
 
 

@@ -24,9 +24,14 @@ class InfoRecorder:
     def append(self, key: str, value):
         self.infos.setdefault(key, []).append(value)
 
+    # Internal per-step payloads that must never be recorded: "update" is
+    # the raw parameter update, "SExp" is the (P, P) stepper-metric matrix
+    # -- at P~10^4 one step would retain ~hundreds of MB and bloat the HDF5.
+    SKIP_KEYS = frozenset({"update", "SExp"})
+
     def append_dict(self, d: dict):
         for k, v in d.items():
-            if k.startswith("_") or k == "update":
+            if k.startswith("_") or k in self.SKIP_KEYS:
                 continue
             self.append(k, v)
 
