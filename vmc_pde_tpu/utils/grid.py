@@ -1,5 +1,11 @@
 """Dense quadrature grid for normalization checks and 2D plotting.
-Parity with vmc_fluids/grid.py:7-28."""
+
+Same contract as the reference Grid (vmc_fluids/grid.py:7-28): ``coords`` is
+the flat (n^dim, dim) array of cell anchor points, ``bin_area`` the Riemann
+cell volume, ``range`` the per-axis bounds. Built here from exact linspace
+bin edges (the left edge of each of n equal bins), which avoids the
+float-accumulation endpoint drift of arange-with-float-step.
+"""
 
 from __future__ import annotations
 
@@ -7,28 +13,30 @@ import numpy as np
 
 
 class Grid:
+    """Regular box grid: ``sym=True`` spans [-b, b) per axis, else [0, b).
+
+    n_gridpoints equal bins per axis; a density integrates as
+    ``sum(p(coords)) * bin_area``.
+    """
+
     def __init__(self, bounds, n_gridpoints: int, sym: bool = True):
-        bounds = np.asarray(bounds, dtype=np.float64)
+        bounds = np.atleast_1d(np.asarray(bounds, dtype=np.float64))
+        n = int(n_gridpoints)
         self.sym = sym
         self.dim = bounds.shape[0]
         self.bounds = bounds
-        self.n_gridpoints = int(n_gridpoints)
-        self.widths = (2 * bounds if sym else bounds) / self.n_gridpoints
+        self.n_gridpoints = n
+
+        lo = -bounds if sym else np.zeros_like(bounds)
+        hi = bounds
+        self.range = np.stack([lo, hi], axis=1).tolist()
+        self.widths = (hi - lo) / n
         self.bin_area = float(np.prod(self.widths))
 
-        if sym:
-            self.range = [[-b, b] for b in bounds]
-            self.vals = [
-                np.arange(-b, b, w) for b, w in zip(bounds, self.widths)
-            ]
-        else:
-            self.range = [[0, b] for b in bounds]
-            self.vals = [
-                np.arange(0, b, w) for b, w in zip(bounds, self.widths)
-            ]
-
-        self.meshgrid = np.meshgrid(*self.vals)
-        self.coords = (
-            np.moveaxis(np.array(self.meshgrid), 0, -1)
-            .reshape(self.n_gridpoints**self.dim, self.dim)
+        # Left bin edges: n points per axis, excluding the right endpoint.
+        edges = [np.linspace(l, h, n, endpoint=False) for l, h in zip(lo, hi)]
+        self.vals = edges
+        self.meshgrid = np.meshgrid(*edges)
+        self.coords = np.stack(
+            [m.reshape(-1) for m in self.meshgrid], axis=-1
         )
