@@ -215,8 +215,11 @@ def test_cg_solver_matches_cholesky(ctx1):
     np.testing.assert_allclose(float(jnp.linalg.norm(u_g - u_c))
                                / float(jnp.linalg.norm(u_c)), 0.0, atol=2e-2)
     assert float(a_g["solver_res"]) < 1e-3
+    # cholesky's lambda_max comes from randomized subspace iteration, cg's
+    # from 12 matvec power iterations; both only scale the Tikhonov shift,
+    # so percent-level agreement is all the physics needs
     np.testing.assert_allclose(float(a_g["lambda_max"]),
-                               float(a_c["lambda_max"]), rtol=1e-3)
+                               float(a_c["lambda_max"]), rtol=3e-2)
 
 
 def test_cg_solver_config_validation(ctx1):
@@ -279,3 +282,38 @@ def test_cg_sexp_warns(ctx1):
         make_problem(ctx1, dim=2, n=512,
                      cfg=TDVPConfig(solver_method="cg", compute_sexp=True))
     assert any("SExp" in str(x.message) for x in w)
+
+
+def test_cholesky_spectrum_topk_matches_eigh(ctx1):
+    """Large-P spectral observability: the randomized top-k eigenvalues and
+    Ritz-projected per-mode SNR recorded on the cholesky path must match the
+    exact eigh spectrum at small P (round-1 verdict item 3)."""
+    k = 16
+    cfg_e = TDVPConfig(solver_method="eigh", compute_snr=True)
+    cfg_c = TDVPConfig(solver_method="cholesky", compute_snr=True,
+                       spectrum_topk=k)
+    st, t_e = make_problem(ctx1, dim=2, n=4096, cfg=cfg_e)
+    _, t_c = make_problem(ctx1, dim=2, n=4096, cfg=cfg_c)
+    assert t_c.cfg.compute_snr  # survives the cholesky config rewrite
+    key = jax.random.PRNGKey(51)
+    theta = st.get_parameters()
+    _, a_e = t_e.rhs(theta, 0.0, key)
+    _, a_c = t_c.rhs(theta, 0.0, key)
+
+    ev_full = np.asarray(a_e["ev"])
+    ev_topk = np.asarray(a_c["ev_topk"])
+    assert ev_topk.shape == (k,)
+    np.testing.assert_allclose(ev_topk[-8:], ev_full[-8:], rtol=1e-5)
+    np.testing.assert_allclose(ev_topk, ev_full[-k:], rtol=1e-2)
+    # trace is exact; tail mass = what the top-k misses
+    np.testing.assert_allclose(float(a_c["spectrum_trace"]), ev_full.sum(),
+                               rtol=1e-10)
+    tail = float(a_c["spectrum_tail_mass"])
+    np.testing.assert_allclose(tail, ev_full[:-k].sum(), rtol=1e-2,
+                               atol=1e-12 * ev_full[-1])
+    # Ritz SNR matches the exact per-mode SNR on well-separated top modes
+    snr_exact = np.asarray(a_e["snr"])[-4:]
+    snr_topk = np.asarray(a_c["snr_topk"])[-4:]
+    np.testing.assert_allclose(snr_topk, snr_exact, rtol=5e-2)
+    # the TDVP diagnostic attribute contract is populated on the large-P path
+    assert t_c.ev is not None and t_c.snr is not None

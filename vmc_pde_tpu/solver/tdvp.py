@@ -81,6 +81,14 @@ class TDVPConfig:
     # -- 3-pass rounding sits far below the f32 tolerance floor), "default"
     # (1-pass bf16: too coarse for the spectral solve).
     gram_precision: str = "high"
+    # Spectral observability on the large-P (cholesky) path: the reference
+    # records the FULL eigenvalue spectrum and per-mode SNR every step
+    # (tdvp.py:57-71, main.py:186-187), which the O(P^3) eigh makes
+    # unaffordable at P ~ 10^4. Instead, the top-k eigenvalues/Ritz vectors
+    # come from randomized subspace iteration (O(P^2 k) MXU matmuls), the
+    # bulk is summarized by trace(S) - sum(top-k), and per-mode SNR is
+    # Ritz-projected. 0 disables.
+    spectrum_topk: int = 64
     # Floor svd_tol/eig_cutoff at multiples of the compute dtype's epsilon:
     # the reference tolerances assume f64 statistics; with an f32 compute
     # path, Gram eigenvalue noise sits at ~eps * ev_max and must be cut.
@@ -151,13 +159,41 @@ def _lambda_max(S, n_iter: int = 12,
     return v @ jnp.matmul(S, v, precision=precision)
 
 
-def _solve_cholesky(S, F, cfg: TDVPConfig):
+def _randomized_topk_eigh(S, k: int, key, n_iter: int = 2,
+                          precision=jax.lax.Precision.HIGHEST):
+    """Top-k eigenpairs of symmetric PSD S by randomized subspace iteration
+    (Halko-Martinsson-Tropp): Y = (S)^(n_iter+1) Omega with QR
+    re-orthonormalization, then a k_eff x k_eff Rayleigh-Ritz eigh. All the
+    heavy work is O(P^2 k_eff) MXU matmuls -- the TPU-friendly replacement
+    for the reference's full O(P^3) spectrum at large P.
+
+    Returns (ev (k,), V (P, k)) in ascending order of ev."""
+    P = S.shape[0]
+    k_eff = min(k + 8, P)  # oversampling for subspace capture
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=precision)
+
+    Om = jax.random.normal(key, (P, k_eff), dtype=S.dtype)
+    Y = mm(S, Om)
+    for _ in range(n_iter):
+        Q, _ = jnp.linalg.qr(Y)
+        Y = mm(S, Q)
+    Q, _ = jnp.linalg.qr(Y)
+    B = mm(Q.T, mm(S, Q))
+    ev, U = jnp.linalg.eigh(0.5 * (B + B.T))
+    V = mm(Q, U)
+    return ev[-k:], V[:, -k:]
+
+
+def _solve_cholesky(S, F, cfg: TDVPConfig, lam_max=None):
     """Tikhonov-regularized direct solve for large parameter counts:
     (S + svd_tol * lambda_max * I) du = F. Matches the eigh path's
     suppression of modes below svd_tol * lambda_max (a soft spectral filter
     ev/(ev + lam) instead of the sixth-power sigmoid) at O(P^3/3) Cholesky
     cost with no eigendecomposition. Returns (update, lambda_max)."""
-    lam_max = _lambda_max(S)
+    if lam_max is None:
+        lam_max = _lambda_max(S)
     lam = cfg.svd_tol * lam_max
     A = S + lam * jnp.eye(S.shape[0], dtype=S.dtype)
     L = jnp.linalg.cholesky(A)
@@ -277,11 +313,10 @@ class TDVP:
         if method == "cg" and not cfg.solve_on_device:
             raise ValueError("solver_method='cg' runs on device only")
         self.solver_method = method
-        if method != "eigh" and (cfg.compute_snr or cfg.use_snr
-                                 or cfg.compute_sexp):
-            # no spectrum -> no per-mode SNR; cg also has no SExp matrix
-            keep_sexp = cfg.compute_sexp and method == "cholesky"
-            if cfg.compute_sexp and not keep_sexp:
+        if method == "cg" and (cfg.compute_snr or cfg.use_snr
+                               or cfg.compute_sexp):
+            # matrix-free: no S, no spectrum, no SExp matrix
+            if cfg.compute_sexp:
                 import warnings
 
                 warnings.warn(
@@ -292,8 +327,16 @@ class TDVP:
                     stacklevel=2,
                 )
             cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False,
-                                      compute_sexp=keep_sexp)
+                                      compute_sexp=False)
             self.cfg = cfg
+        elif method == "cholesky":
+            # Per-mode SNR survives via the randomized top-k Ritz basis
+            # (spectrum_topk); SNR *regularization* is spectral-only.
+            keep_snr = cfg.compute_snr and cfg.spectrum_topk > 0
+            if cfg.use_snr or cfg.compute_snr != keep_snr:
+                cfg = dataclasses.replace(cfg, compute_snr=keep_snr,
+                                          use_snr=False)
+                self.cfg = cfg
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
         self._hess_idx = equation.hessian_coords(self.flow.dim)
@@ -572,7 +615,7 @@ class TDVP:
     def _rhs_impl(self, theta_c, t, key, z_ext, z_obs_ext, n: int, n_obs: int):
         cfg = self.cfg
         params = self._unravel(theta_c)
-        k_sample, k_obs, k_int = jax.random.split(key, 3)
+        k_sample, k_obs, k_int, k_spec = jax.random.split(key, 4)
 
         # SAMPLE: latent draw + inverse-flow push-forward (in-jit for exact
         # latents; externally-supplied for the MCMC path).
@@ -612,8 +655,39 @@ class TDVP:
                 aux["ev"] = ev
                 aux["snr"] = snr if snr is not None else jnp.zeros_like(ev)
             else:
+                lam_max = None
+                if cfg.spectrum_topk > 0:
+                    # Approximate spectral observability (reference records
+                    # the full ev/snr per step, tdvp.py:57-71): top-k
+                    # eigenpairs + trace-based bulk summary + Ritz-projected
+                    # per-mode SNR.
+                    k = min(cfg.spectrum_topk, S.shape[0])
+                    ev_k, V_k = _randomized_topk_eigh(
+                        S.astype(sdt), k, k_spec
+                    )
+                    lam_max = ev_k[-1]
+                    tr = jnp.trace(S.astype(sdt))
+                    aux["ev_topk"] = ev_k
+                    aux["spectrum_trace"] = tr
+                    aux["spectrum_tail_mass"] = tr - jnp.sum(ev_k)
+                    if st["A"] is not None:
+                        VtF = jnp.matmul(
+                            V_k.T, F0.astype(sdt),
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        AV = jnp.matmul(
+                            st["A"].astype(sdt), V_k,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        rho_var = jnp.maximum(
+                            jnp.abs(jnp.sum(V_k * AV, axis=0) - VtF**2),
+                            jnp.finfo(VtF.dtype).tiny,
+                        )
+                        aux["snr_topk"] = jnp.sqrt(
+                            jnp.abs(n * VtF**2 / rho_var)
+                        )
                 update, lam_max = _solve_cholesky(
-                    S.astype(sdt), F0.astype(sdt), cfg
+                    S.astype(sdt), F0.astype(sdt), cfg, lam_max=lam_max
                 )
                 aux["lambda_max"] = lam_max
             residual = jnp.linalg.norm(
@@ -744,8 +818,9 @@ class TDVP:
             aux["nan"] = bool(np.any(np.isnan(np.asarray(aux["update"]))))
 
         # Reference diagnostic attribute contract (tdvp.py:127, main.py:186-189).
-        self.ev = aux.get("ev")
-        self.snr = aux.get("snr")
+        # On the large-P path the (approximate) top-k spectrum stands in.
+        self.ev = aux.get("ev", aux.get("ev_topk"))
+        self.snr = aux.get("snr", aux.get("snr_topk"))
         self.solverResidual = aux["solver_res"]
         self.tdvp_error = aux["tdvp_error"]
         self.ElocMean = aux["eloc_mean"]
