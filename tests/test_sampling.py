@@ -85,3 +85,24 @@ def test_student_t_sampler_through_state(ctx1):
     # logp should match direct evaluation
     lp2 = np.asarray(st(x[:100]))
     np.testing.assert_allclose(np.asarray(logp)[:100], lp2, atol=1e-9)
+
+
+def test_metropolis_f32_states_under_x64(ctx1):
+    """f32 chains must survive the scan carry when global x64 is on (the
+    TPU driver config: compute f32, x64 enabled for master params)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from vmc_pde_tpu.sampling.sampler import (cos_dist_log_prob,
+                                              metropolis_chain,
+                                              radial_proposal)
+
+    off = jnp.zeros(2)
+    init = jnp.zeros((16, 2), dtype=jnp.float32)
+    samples, final, n_acc = metropolis_chain(
+        jax.random.PRNGKey(0), init,
+        partial(cos_dist_log_prob, offset=off), radial_proposal,
+        8, {"offset": off, "bound": 0.25})
+    assert final.dtype == jnp.float32
+    assert samples.shape == (8 * 16, 2)

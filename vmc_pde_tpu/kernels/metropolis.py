@@ -63,14 +63,13 @@ def _ball_proposal(u, dim, bound, offset):
     return r * d + offset
 
 
-def _metropolis_kernel(seed_ref, init_ref, offset_ref, out_ref, final_ref,
-                       acc_ref, states_ref, lp_ref, accv_ref,
-                       *, log_prob, n_chains, dim, bound, sweeps_per_block):
+def _metropolis_body(get_uniforms, init_ref, offset_ref, out_ref, final_ref,
+                     acc_ref, states_ref, lp_ref, accv_ref,
+                     *, log_prob, n_chains, dim, sweeps_per_block, bound):
+    """Shared sweep loop; ``get_uniforms(j)`` yields the (2*dim+2, chains)
+    uniform block for sweep j (hardware PRNG or an external input)."""
     b = pl.program_id(0)
     n_blocks = pl.num_programs(0)
-    # Distinct PRNG stream per grid step (the hardware PRNG state does not
-    # persist across grid invocations).
-    pltpu.prng_seed(seed_ref[0] + b)
     off = offset_ref[:]  # (dim, 1), broadcast across chain lanes
 
     @pl.when(b == 0)
@@ -87,7 +86,7 @@ def _metropolis_kernel(seed_ref, init_ref, offset_ref, out_ref, final_ref,
     # offset inside this grid step's block; the grid machinery pipelines
     # the block DMA to HBM behind the next step's compute.
     for j in range(sweeps_per_block):
-        u = _uniforms(2 * dim + 2, n_chains)
+        u = get_uniforms(j)
         prop = _ball_proposal(u, dim, bound, off)
         lp_new = log_prob(prop, off)
         accept = u[2 * dim + 1:2 * dim + 2, :] < jnp.exp(lp_new - lp)
@@ -106,6 +105,38 @@ def _metropolis_kernel(seed_ref, init_ref, offset_ref, out_ref, final_ref,
         acc_ref[0] = jnp.sum(acc)
 
 
+def _metropolis_kernel_hw(seed_ref, init_ref, offset_ref, out_ref, final_ref,
+                          acc_ref, states_ref, lp_ref, accv_ref,
+                          *, log_prob, n_chains, dim, bound,
+                          sweeps_per_block):
+    # Distinct PRNG stream per grid step (the hardware PRNG state does not
+    # persist across grid invocations).
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    _metropolis_body(
+        lambda j: _uniforms(2 * dim + 2, n_chains),
+        init_ref, offset_ref, out_ref, final_ref, acc_ref,
+        states_ref, lp_ref, accv_ref,
+        log_prob=log_prob, n_chains=n_chains, dim=dim,
+        sweeps_per_block=sweeps_per_block, bound=bound,
+    )
+
+
+def _metropolis_kernel_ext(u_ref, init_ref, offset_ref, out_ref, final_ref,
+                           acc_ref, states_ref, lp_ref, accv_ref,
+                           *, log_prob, n_chains, dim, bound,
+                           sweeps_per_block):
+    # Externally-supplied uniforms: deterministic and platform-independent,
+    # so CI can replay identical randomness through a host-side replica
+    # (the hardware PRNG is TPU-only and a zero stub in interpret mode).
+    _metropolis_body(
+        lambda j: u_ref[:, j * n_chains:(j + 1) * n_chains],
+        init_ref, offset_ref, out_ref, final_ref, acc_ref,
+        states_ref, lp_ref, accv_ref,
+        log_prob=log_prob, n_chains=n_chains, dim=dim,
+        sweeps_per_block=sweeps_per_block, bound=bound,
+    )
+
+
 def metropolis_chain_pallas(
     seed: int,
     init_states,
@@ -114,12 +145,18 @@ def metropolis_chain_pallas(
     bound: float,
     offset,
     interpret: bool = False,
+    uniforms=None,
 ):
     """Run all chains for n_steps Metropolis sweeps fully on-chip.
 
     ``init_states``: (n_chains, dim), n_chains a multiple of 128.
     ``log_prob``: maps ((dim, chains) block, (dim, 1) offset) -> (1, chains)
     log-densities; jnp-traceable (inlined into the kernel).
+    ``uniforms``: optional (2*dim+2, n_steps_rounded * n_chains) U(0,1)
+    block replacing the hardware PRNG (sweep j consumes columns
+    [j*n_chains, (j+1)*n_chains); rows 0..2dim-1 feed Box-Muller, row 2dim
+    the radius, row 2dim+1 the accept draw). Deterministic across platforms
+    -- the CI path (the hardware PRNG is TPU-silicon-only).
 
     Returns (samples (n_steps*n_chains, dim), final_states (n_chains, dim),
     n_accepted). Sample row i*n_chains + c is chain c's state after sweep i,
@@ -136,25 +173,40 @@ def metropolis_chain_pallas(
     n_steps = ((int(n_steps) + K - 1) // K) * K
 
     call = _build_call(log_prob, n_steps, int(n_chains), int(dim),
-                       float(bound), K, interpret)
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
-    samples, final_states, n_acc = call(seed_arr, init_states.T, offset_arr)
+                       float(bound), K, interpret, uniforms is not None)
+    if uniforms is not None:
+        u = jnp.asarray(uniforms, dtype=jnp.float32)
+        expected = (2 * dim + 2, n_steps * n_chains)
+        if u.shape != expected:
+            raise ValueError(
+                f"uniforms must have shape {expected}, got {u.shape}"
+            )
+        first = u
+    else:
+        first = jnp.asarray([seed], dtype=jnp.int32)
+    samples, final_states, n_acc = call(first, init_states.T, offset_arr)
     return samples, final_states, int(n_acc[0])
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(log_prob, n_steps, n_chains, dim, bound, K, interpret):
+def _build_call(log_prob, n_steps, n_chains, dim, bound, K, interpret,
+                external_uniforms=False):
     """Build (and cache) the jitted pallas_call for a static configuration --
     rebuilding/retracing per invocation costs ~100x the kernel runtime."""
     n_blocks = n_steps // K
     kernel = functools.partial(
-        _metropolis_kernel,
+        _metropolis_kernel_ext if external_uniforms else _metropolis_kernel_hw,
         log_prob=log_prob,
         n_chains=n_chains,
         dim=dim,
         bound=bound,
         sweeps_per_block=K,
     )
+    if external_uniforms:
+        first_spec = pl.BlockSpec((2 * dim + 2, K * n_chains),
+                                  lambda b: (0, b), memory_space=pltpu.VMEM)
+    else:
+        first_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -164,7 +216,7 @@ def _build_call(log_prob, n_steps, n_chains, dim, bound, K, interpret):
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            first_spec,
             pl.BlockSpec((dim, n_chains), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, 1), lambda b: (0, 0),
@@ -182,12 +234,14 @@ def _build_call(log_prob, n_steps, n_chains, dim, bound, K, interpret):
             pltpu.VMEM((1, n_chains), jnp.float32),     # chain logp
             pltpu.VMEM((1, n_chains), jnp.float32),     # acceptance counts
         ],
-        interpret=interpret,
+        # TPU interpret mode: emulates the Mosaic memory/grid semantics on
+        # CPU (the hardware PRNG stays TPU-only -- use external uniforms)
+        interpret=pltpu.InterpretParams() if interpret else False,
     )
 
     @jax.jit
-    def run(seed_arr, init_t, offset_arr):
-        samples_t, final_t, n_acc = call(seed_arr, init_t, offset_arr)
+    def run(first, init_t, offset_arr):
+        samples_t, final_t, n_acc = call(first, init_t, offset_arr)
         return samples_t.T, final_t.T, n_acc
 
     return run

@@ -85,7 +85,11 @@ def metropolis_chain(
     def step(carry, _):
         states, key, n_acc = carry
         key, k_prop, k_acc = jax.random.split(key, 3)
-        proposals = proposer(k_prop, n_chains, dim, mcmc_info)
+        # proposers draw in the default dtype; pin to the chain dtype so the
+        # scan carry stays type-stable (f32 chains under global x64)
+        proposals = proposer(k_prop, n_chains, dim, mcmc_info).astype(
+            states.dtype
+        )
         log_ratio = jax.vmap(log_prob)(proposals) - jax.vmap(log_prob)(states)
         accept = jax.random.uniform(k_acc, (n_chains,)) < jnp.exp(log_ratio)
         new_states = jnp.where(accept[:, None], proposals, states)
