@@ -38,6 +38,17 @@ CASES = {
         drift="diffusion",
         params={"D": 1.0},
     ),
+    # exact_dyn.py:89-96 "fluidpaper": MCMC-initialized cloud from the
+    # cosine-bump density, deterministic advection under the paper's
+    # time-periodic velocity field
+    "fluidpaper": dict(
+        dim=2,
+        offset=(0.25, 0.25),
+        drift="advection_paper",
+        params={"T": 5.0},
+        init="cos_dist",
+        mcmc_bound=0.25,
+    ),
 }
 
 
@@ -55,9 +66,15 @@ def main(argv=None):
 
     case = CASES[args.case]
     dim = case["dim"]
-    coords = args.sigma * jax.random.normal(
-        jax.random.PRNGKey(args.seed), (args.particles, dim)
-    ) + jnp.asarray(case["offset"])
+    if case.get("init") == "cos_dist":
+        coords = sde.mcmc_init_cloud(
+            jax.random.PRNGKey(args.seed), args.particles,
+            case["offset"], bound=case["mcmc_bound"],
+        )
+    else:
+        coords = args.sigma * jax.random.normal(
+            jax.random.PRNGKey(args.seed), (args.particles, dim)
+        ) + jnp.asarray(case["offset"])
 
     n_steps = int(round(args.t_end / args.dt))
     coords, infos = sde.evolve(

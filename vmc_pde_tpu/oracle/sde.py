@@ -55,6 +55,30 @@ DRIFTS = {
 }
 
 
+def mcmc_init_cloud(key, n: int, offset, bound: float = 0.25,
+                    n_chains: int = 256, burn_in: int = 200,
+                    dtype=jnp.float64):
+    """MCMC-initialized particle cloud from the paper's cosine-bump density
+    -- the fluidpaper oracle's initial condition (exact_dyn.py:89-96).
+    Metropolis with uniform-in-ball independence proposals; ``burn_in``
+    sweeps are discarded before collecting ceil(n / n_chains) sweeps."""
+    from functools import partial
+
+    from ..sampling.sampler import (cos_dist_log_prob, metropolis_chain,
+                                    radial_proposal)
+
+    off = jnp.asarray(offset, dtype=dtype)
+    info = {"offset": off, "bound": bound}
+    k_init, k_run = jax.random.split(key)
+    init = radial_proposal(k_init, n_chains, off.shape[0], info).astype(dtype)
+    n_steps = -(-n // n_chains) + burn_in
+    samples, _, _ = metropolis_chain(
+        k_run, init, partial(cos_dist_log_prob, offset=off),
+        radial_proposal, n_steps, info,
+    )
+    return samples[burn_in * n_chains:][:n]
+
+
 def rk4_sde_step(coord, t, dt, key, drift: Callable, params: dict):
     """One RK4 step with stage-weighted noise (exact_dyn.py:70-76): stage k_i
     with Butcher weight w_i draws noise with dt_eff = w_i * dt."""
