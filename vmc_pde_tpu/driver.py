@@ -275,7 +275,28 @@ def main(argv=None):
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace into this directory")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: initialize jax.distributed before "
+                        "building the mesh (replaces the reference's MPI "
+                        "rank discovery, mpi_wrapper.py:9-11)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port (with --distributed; "
+                        "omit to auto-detect from the cluster environment)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.distributed:
+        from .parallel.mesh import distributed_init
+
+        kw = {}
+        if args.coordinator is not None:
+            kw["coordinator_address"] = args.coordinator
+        if args.num_processes is not None:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        distributed_init(**kw)
 
     overrides = {}
     if args.t_end is not None:
