@@ -317,3 +317,49 @@ def test_cholesky_spectrum_topk_matches_eigh(ctx1):
     np.testing.assert_allclose(snr_topk, snr_exact, rtol=5e-2)
     # the TDVP diagnostic attribute contract is populated on the large-P path
     assert t_c.ev is not None and t_c.snr is not None
+
+
+def test_fused_stepper_stages_match_percall(ctx1):
+    """The one-dispatch Heun pair / adaptive attempt (dt traced) must
+    reproduce the per-call stepper exactly: same RNG per stage (intStep
+    contract), same accepted dt, same parameters."""
+    from vmc_pde_tpu.driver import s_metric_norm
+    from vmc_pde_tpu.solver.steppers import AdaptiveHeun, FixedStepper
+
+    cfg = TDVPConfig(compute_sexp=True)
+    st, tdvp = make_problem(ctx1, dim=2, n=2048, cfg=cfg)
+    assert tdvp.fused_steps_available
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(77)
+
+    def f(y, t, k, intStep=0):
+        u, aux = tdvp.rhs(y, t, k, intStep=intStep)
+        f.SExp = tdvp.SExp
+        return u, aux
+
+    s_plain = FixedStepper(timeStep=1e-4, maxStep=1e-3)
+    s_fused = FixedStepper(timeStep=1e-4, maxStep=1e-3,
+                           pair_fn=tdvp.heun_pair)
+    r1 = s_plain.step(0.0, f, theta, key)
+    r2 = s_fused.step(0.0, f, theta, key)
+    assert r1.dt_used == r2.dt_used
+    # not bit-identical: the fused program compiles to different HLO
+    # (reassociated reductions); agreement to fp-noise is the contract
+    np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
+                               rtol=1e-6, atol=1e-12)
+    # residuals sit at the f64 noise floor (~1e-14); same order is enough
+    np.testing.assert_allclose(float(r2.info["solver_res"]),
+                               float(r1.info["solver_res"]), rtol=0.2)
+
+    a_plain = AdaptiveHeun(timeStep=1e-4, tol=1e-5, maxStep=1e-3)
+    a_fused = AdaptiveHeun(timeStep=1e-4, tol=1e-5, maxStep=1e-3,
+                           attempt_fn=tdvp.heun_attempt)
+    r1 = a_plain.step(0.0, f, theta, key, normFunction=s_metric_norm)
+    r2 = a_fused.step(0.0, f, theta, key, normFunction=s_metric_norm)
+    assert r1.dt_used == r2.dt_used
+    np.testing.assert_allclose(a_fused.dt, a_plain.dt, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
+                               rtol=1e-6, atol=1e-12)
+    # recorded info is the FIRST stage's (state at t), per-call parity
+    np.testing.assert_allclose(float(r2.info["entropy"]),
+                               float(r1.info["entropy"]), rtol=1e-8)

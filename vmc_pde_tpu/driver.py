@@ -92,14 +92,21 @@ def build_problem(cfg: RunConfig):
         precision=precision,
     )
 
+    # Exact-latent workloads integrate with fused stepper stages: the whole
+    # Heun pair / adaptive attempt is one dispatch with dt traced (the MCMC
+    # path keeps per-stage dispatch -- its chain state lives on the host).
+    fused = tdvp.fused_steps_available
     if cfg.stepper == "adaptive_heun":
-        stepper = AdaptiveHeun(timeStep=cfg.dt0, tol=cfg.tol, maxStep=cfg.max_step)
+        stepper = AdaptiveHeun(timeStep=cfg.dt0, tol=cfg.tol,
+                               maxStep=cfg.max_step,
+                               attempt_fn=tdvp.heun_attempt if fused else None)
     elif cfg.stepper == "fixed_euler":
         stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
                                increase_fac=cfg.increase_fac, mode="Euler")
     else:
         stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
-                               increase_fac=cfg.increase_fac, mode="Heun")
+                               increase_fac=cfg.increase_fac, mode="Heun",
+                               pair_fn=tdvp.heun_pair if fused else None)
 
     grid = None
     if cfg.dim == 2:
@@ -131,7 +138,10 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     # NaN aborts are checked at flush points rather than per RHS call: a
     # per-call bool() would force a device->host sync and serialize the
     # pipeline (the reference exits on NaN inside the step, tdvp.py:136-141;
-    # we fail at most ``flush_every`` steps later with the same diagnostics).
+    # we fail at most ``nan_check_every`` steps later with the same
+    # diagnostics). An intermediate-stage NaN propagates into the final
+    # stage's update, so checking the step's final info flag covers every
+    # stage.
     pending_nan = []
 
     def f(theta, t, key, intStep=0):
@@ -142,7 +152,6 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         # AdaptiveHeun reads the S-metric off the rhs callable
         # (stepper.py:71 contract: normFunction(dy1 - dy0, f.SExp))
         f.SExp = tdvp.SExp
-        pending_nan.append((aux["nan"], t))
         return update, aux
 
     def check_nan():
@@ -189,9 +198,11 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                 profiling = False
         t0 = time.perf_counter()
         key, step_key = jax.random.split(key)
-        res = stepper.step(t, f, theta, step_key,
-                           normFunction=s_metric_norm)
+        with timings.section("step"):
+            res = stepper.step(t, f, theta, step_key,
+                               normFunction=s_metric_norm)
         theta, dt, info = res.y, res.dt_used, res.info
+        pending_nan.append((info["nan"], t))
         state.set_parameters(theta)
 
         rec.append("times", t)

@@ -30,21 +30,32 @@ class StepResult:
 
 
 class FixedStepper:
-    """Heun or Euler with a geometric dt ramp (stepper.py:94-145)."""
+    """Heun or Euler with a geometric dt ramp (stepper.py:94-145).
+
+    ``pair_fn`` (optional, e.g. ``TDVP.heun_pair``): evaluates the whole
+    Heun pair in one fused dispatch with dt as a traced scalar --
+    (dy, info) = pair_fn(y, t, dt, key) -- instead of two f() calls with a
+    host round-trip between them. Integration arithmetic stays in master
+    precision: only the increment crosses back.
+    """
 
     def __init__(self, timeStep=1e-3, maxStep=1e-2, increase_fac=1.3,
-                 mode="Heun"):
+                 mode="Heun", pair_fn=None):
         self.dt = float(timeStep)
         self.maxStep = float(maxStep)
         self.increase_fac = float(increase_fac)
         if mode not in ("Heun", "Euler"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
+        self.pair_fn = pair_fn
 
     def step(self, t, f, y, key, normFunction=None):
         self.dt = min(self.dt * self.increase_fac, self.maxStep)
         dt = self.dt
         if self.mode == "Heun":
+            if self.pair_fn is not None:
+                dy, info = self.pair_fn(y, t, dt, key)
+                return StepResult(y + dy, dt, info)
             k0, _ = f(y, t, key, intStep=0)
             k1, info = f(y + dt * k0, t + dt, key, intStep=1)
             return StepResult(y + 0.5 * dt * (k0 + k1), dt, info)
@@ -59,12 +70,20 @@ class AdaptiveHeun:
     reference passes norm_fun(v, S) = v S v with S = f.SExp (main.py:24-26,
     stepper.py:71). ``f`` must expose ``.SExp`` after a call (TDVP does when
     TDVPConfig.compute_sexp is set).
+
+    ``attempt_fn`` (optional, e.g. ``TDVP.heun_attempt``): evaluates a whole
+    embedded attempt -- all 5 RHS stages plus the S-metric error -- in one
+    fused dispatch with dt as a traced scalar: (dy1, err, info) =
+    attempt_fn(y, t, dt, key, attempt). One host sync per attempt (the
+    accept/reject decision, O(1) data) instead of 5 + a (P, P)-matrix norm.
     """
 
-    def __init__(self, timeStep=1e-3, tol=1e-8, maxStep=1.0):
+    def __init__(self, timeStep=1e-3, tol=1e-8, maxStep=1.0,
+                 attempt_fn=None):
         self.dt = float(timeStep)
         self.tolerance = float(tol)
         self.maxStep = float(maxStep)
+        self.attempt_fn = attempt_fn
 
     def step(self, t, f, y, key, normFunction=None):
         if normFunction is None:
@@ -75,22 +94,28 @@ class AdaptiveHeun:
         y0 = y
         attempt = 0
         while fe < 1.0:
-            k0, info = f(y0, t, key, intStep=5 * attempt + 0)
-            y1 = y0 + dt * k0
-            k1, _ = f(y1, t + dt, key, intStep=5 * attempt + 1)
-            dy0 = 0.5 * dt * (k0 + k1)
+            if self.attempt_fn is not None:
+                dy1, err, info = self.attempt_fn(y0, t, dt, key,
+                                                 attempt=attempt)
+                err = float(err)
+            else:
+                k0, info = f(y0, t, key, intStep=5 * attempt + 0)
+                y1 = y0 + dt * k0
+                k1, _ = f(y1, t + dt, key, intStep=5 * attempt + 1)
+                dy0 = 0.5 * dt * (k0 + k1)
 
-            # two half steps
-            yh = y0 + 0.5 * dt * k0
-            k10, _ = f(yh, t + 0.5 * dt, key, intStep=5 * attempt + 2)
-            dy1 = 0.25 * dt * (k0 + k10)
-            y2 = y0 + dy1
-            k01, _ = f(y2, t + 0.5 * dt, key, intStep=5 * attempt + 3)
-            y3 = y2 + 0.5 * dt * k01
-            k11, _ = f(y3, t + dt, key, intStep=5 * attempt + 4)
-            dy1 = dy1 + 0.25 * dt * (k01 + k11)
+                # two half steps
+                yh = y0 + 0.5 * dt * k0
+                k10, _ = f(yh, t + 0.5 * dt, key, intStep=5 * attempt + 2)
+                dy1 = 0.25 * dt * (k0 + k10)
+                y2 = y0 + dy1
+                k01, _ = f(y2, t + 0.5 * dt, key, intStep=5 * attempt + 3)
+                y3 = y2 + 0.5 * dt * k01
+                k11, _ = f(y3, t + dt, key, intStep=5 * attempt + 4)
+                dy1 = dy1 + 0.25 * dt * (k01 + k11)
+                err = float(normFunction(dy1 - dy0,
+                                         getattr(f, "SExp", None)))
 
-            err = float(normFunction(dy1 - dy0, getattr(f, "SExp", None)))
             # err == 0 (fully-regularized / stationary update) accepts the
             # step and grows dt, matching the reference's inf from jnp
             # division (stepper.py:72)

@@ -351,6 +351,14 @@ class TDVP:
         self.ElocVar = None
 
         self._fused = jax.jit(self._rhs_impl, static_argnames=("n", "n_obs"))
+        # Fused stepper stages (exact-latent path): a whole Heun pair /
+        # adaptive attempt in ONE jit with dt as a traced scalar -- one
+        # dispatch + one host sync per step/attempt instead of 2/5
+        # (reference: stepper.py calls f per stage with host round-trips).
+        self._fused_pair = jax.jit(self._heun_pair_impl,
+                                   static_argnames=("n", "n_obs"))
+        self._fused_attempt = jax.jit(self._heun_attempt_impl,
+                                      static_argnames=("n", "n_obs"))
 
     # ------------------------------------------------------------------
     # Per-sample physics: logp, score, O-row, Hessian block, Eloc.
@@ -830,6 +838,99 @@ class TDVP:
 
         update = jnp.asarray(aux["update"], dtype=self.precision.master)
         return update, aux
+
+    # ------------------------------------------------------------------
+    # Fused integrator stages (exact-latent sampling only): the stage
+    # arithmetic runs in compute dtype, matching the per-call path where
+    # master-f64 stage vectors are cast to compute before evaluation; the
+    # returned INCREMENT dy is added to the master-f64 parameters on host,
+    # so integration accuracy is unchanged (steppers.py contract).
+    # ------------------------------------------------------------------
+    def _stage(self, th, t, key, i, n, n_obs):
+        # fold_in(key, intStep) matches rhs()'s per-call key derivation
+        # exactly, so fused and per-call integration are RNG-identical
+        aux = self._rhs_impl(th, t, jax.random.fold_in(key, i),
+                             None, None, n, n_obs)
+        return aux["update"].astype(th.dtype), aux
+
+    def _heun_pair_impl(self, theta_c, t, dt, key, n: int, n_obs: int):
+        """Fixed-Heun pair: dy = dt/2 (k0 + k1) (stepper.py:133-139)."""
+        k0, _ = self._stage(theta_c, t, key, 0, n, n_obs)
+        k1, aux = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs)
+        return 0.5 * dt * (k0 + k1), aux
+
+    def _heun_attempt_impl(self, theta_c, t, dt, key, off, n: int,
+                           n_obs: int):
+        """One embedded-adaptive-Heun attempt (stepper.py:6-91): full step
+        vs two half steps, error in the S-metric of the LAST stage's SExp
+        (main.py:24-26 / stepper.py:71 semantics). ``off`` = 5 * attempt,
+        the per-call intStep base. Returns (dy1, err, aux)."""
+        k0, aux0 = self._stage(theta_c, t, key, off + 0, n, n_obs)
+        y1 = theta_c + dt * k0
+        k1, _ = self._stage(y1, t + dt, key, off + 1, n, n_obs)
+        dy0 = 0.5 * dt * (k0 + k1)
+
+        yh = theta_c + 0.5 * dt * k0
+        k10, _ = self._stage(yh, t + 0.5 * dt, key, off + 2, n, n_obs)
+        dy1 = 0.25 * dt * (k0 + k10)
+        y2 = theta_c + dy1
+        k01, _ = self._stage(y2, t + 0.5 * dt, key, off + 3, n, n_obs)
+        y3 = y2 + 0.5 * dt * k01
+        k11, aux_last = self._stage(y3, t + dt, key, off + 4, n, n_obs)
+        dy1 = dy1 + 0.25 * dt * (k01 + k11)
+
+        # Per-call parity: the recorded info is the FIRST stage's (the state
+        # at t -- AdaptiveHeun's `k0, info = f(y0, t, ...)`), while the
+        # S-metric uses the LAST stage's SExp (the reference reads f.SExp
+        # after all calls, stepper.py:71).
+        diff = dy1 - dy0
+        sexp = aux_last.get("SExp")
+        if sexp is not None:
+            sdt = self.precision.solve
+            d = diff.astype(sdt)
+            err = d @ jnp.matmul(sexp.astype(sdt), d,
+                                 precision=jax.lax.Precision.HIGHEST)
+        else:
+            err = jnp.linalg.norm(diff)
+        return dy1, err, aux0
+
+    def _finish_fused(self, dy, aux):
+        """Shared host-side tail of the fused stepper stages."""
+        self.ev = aux.get("ev", aux.get("ev_topk"))
+        self.snr = aux.get("snr", aux.get("snr_topk"))
+        self.solverResidual = aux["solver_res"]
+        self.tdvp_error = aux["tdvp_error"]
+        self.ElocMean = aux["eloc_mean"]
+        self.ElocVar = aux["eloc_var"]
+        if "SExp" in aux:
+            self.SExp = aux["SExp"]
+        return jnp.asarray(dy, dtype=self.precision.master), aux
+
+    @property
+    def fused_steps_available(self) -> bool:
+        """The fused pair/attempt sample in-jit, so they need an exact
+        latent; the MCMC path keeps per-stage dispatch (its chain state
+        threads through the host)."""
+        return self.sampler.exact
+
+    def heun_pair(self, theta, t, dt, key):
+        """(dy, aux) for a whole fixed-Heun step in one dispatch."""
+        theta_c = jnp.asarray(theta, dtype=self.precision.compute)
+        dy, aux = self._fused_pair(theta_c, t, dt, key,
+                                   n=self.n_samples, n_obs=self.n_samples_obs)
+        return self._finish_fused(dy, aux)
+
+    def heun_attempt(self, theta, t, dt, key, attempt: int = 0):
+        """(dy1, err, aux) for a whole adaptive attempt in one dispatch.
+        ``attempt`` decorrelates the RNG across retries (the per-call path's
+        intStep = 5 * attempt + stage contract)."""
+        theta_c = jnp.asarray(theta, dtype=self.precision.compute)
+        dy1, err, aux = self._fused_attempt(
+            theta_c, t, dt, key, 5 * attempt,
+            n=self.n_samples, n_obs=self.n_samples_obs,
+        )
+        dy1, aux = self._finish_fused(dy1, aux)
+        return dy1, err, aux
 
     def _host_solve(self, aux):
         """Host f64 solve (the reference's default path, tdvp.py:60-64)."""
