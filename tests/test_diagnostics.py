@@ -163,3 +163,42 @@ def test_info_recorder_device_arrays():
     arrs = rec.as_arrays()
     assert isinstance(arrs["x"], np.ndarray)
     assert arrs["x"].shape == (4, 3)
+
+
+def test_plot_data_diff(tmp_path, ctx1):
+    """Model-minus-histogram diff (visualization.py:80-109 parity): for
+    samples drawn from the model itself, the integrated |diff| is small."""
+    import jax
+
+    from vmc_pde_tpu.models import flow as flow_mod
+    from vmc_pde_tpu.models.state import VarState
+    from vmc_pde_tpu.sampling.sampler import Sampler
+    from vmc_pde_tpu.utils.dtypes import Precision
+    from vmc_pde_tpu.utils.grid import Grid
+    from vmc_pde_tpu.viz.plots import plot_data_diff
+
+    prec = Precision.f64_everywhere()
+    fl, params = flow_mod.build_flow(1, dim=2, depth=2, dtype=prec.compute)
+    s = Sampler(dim=2, ctx=ctx1, name="Gauss", dtype=prec.compute)
+    st = VarState(fl, params, sampler=s, ctx=ctx1, precision=prec)
+    x, _ = st.sample(60000, key=jax.random.PRNGKey(0))
+    g = Grid(np.ones(2) * 5.0, 40)
+    fig, l1 = plot_data_diff(st, g, np.asarray(x))
+    fig.savefig(tmp_path / "diff.png")
+    assert l1 < 0.15, l1
+
+
+def test_driver_density_snapshots(tmp_path):
+    """Periodic per-step 2D density snapshots land in the workdir
+    (main.py:198-201 parity)."""
+    from vmc_pde_tpu.config import preset
+    from vmc_pde_tpu.driver import run
+
+    cfg = preset("mwe", n_samples_tdvp=256, n_samples_obs=256, dt0=1e-3,
+                 max_step=1e-3, t_end=3e-3, plot_every=1e-3,
+                 precision="f64", verbose=False, grid_points=30,
+                 workdir=str(tmp_path))
+    run(cfg, max_steps=3)
+    import glob
+    snaps = glob.glob(str(tmp_path / "t_*.pdf"))
+    assert snaps, "no density snapshots written"

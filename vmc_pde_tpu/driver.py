@@ -229,6 +229,15 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
             rec.append("grid_integral", integral)
             if cfg.verbose:
                 print("Grid integral:", integral)
+            if wdir and is_coordinator():
+                # periodic 2D density snapshot (main.py:198-201 parity)
+                from .viz.plots import plot_density
+
+                fig = plot_density(state, grid, proj=False)
+                fig.savefig(os.path.join(wdir, f"t_{t:.3f}.pdf"))
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
 
         if (cfg.checkpoint_every and n_step % cfg.checkpoint_every == 0
                 and wdir and is_coordinator()):

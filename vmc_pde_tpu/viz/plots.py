@@ -89,6 +89,38 @@ def plot_diff(state, grid, target_fun):
     return fig
 
 
+def plot_data_diff(state, grid, data, fun=None):
+    """Model density minus a normalized 2D sample histogram
+    (visualization.py:80-109). The histogram is renormalized to the model's
+    grid mass so out-of-range samples don't bias the comparison. Returns
+    (figure, integrated |diff|)."""
+    plt = _plt()
+    if fun is not None:
+        probs = np.asarray([fun(c) for c in grid.coords])
+    else:
+        probs = np.exp(np.asarray(state(grid.coords)))
+    probs = probs.reshape((grid.n_gridpoints, grid.n_gridpoints))
+
+    data = np.asarray(data).reshape(-1, 2)
+    rng = np.asarray(grid.range) - np.asarray(grid.widths)[:, None] / 2
+    hist, _, _ = np.histogram2d(
+        data[:, 0], data[:, 1], bins=grid.n_gridpoints, range=rng,
+        density=True,
+    )
+    # density=True normalizes over in-range samples only; rescale to the
+    # model's in-range mass so the two surfaces are comparable
+    hist = hist * probs.sum() / max(hist.sum(), 1e-300)
+    diff = probs - hist
+
+    fig = plt.figure()
+    ax = plt.axes(projection="3d")
+    ax.plot_surface(grid.meshgrid[0], grid.meshgrid[1], diff, cmap="coolwarm")
+    ax.set_title("Model - Sample Histogram")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    return fig, float(grid.bin_area * np.abs(diff).sum())
+
+
 def plot_data(data, grid, title="Data"):
     """3D histogram surface of samples (visualization.py:112-128)."""
     plt = _plt()
