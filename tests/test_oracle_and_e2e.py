@@ -218,3 +218,38 @@ def test_driver_rejects_adaptive_cg():
                  n_samples_tdvp=64, n_samples_obs=64)
     with pytest.raises(ValueError, match="SExp"):
         build_problem(cfg)
+
+
+def test_pretrain_checkpoint_resume(tmp_path, ctx1):
+    """Pretraining persists {params, opt_state, epoch} via orbax and a
+    resumed run continues from the checkpointed epoch with identical
+    shuffling (epoch-indexed keys)."""
+    import jax
+
+    from vmc_pde_tpu.models.state import make_var_state
+    from vmc_pde_tpu.pretrain.train import gen_data, train
+    from vmc_pde_tpu.utils.dtypes import Precision
+
+    prec = Precision.f64_everywhere()
+    data, _ = gen_data((2000, 2))
+    data = data.astype(prec.compute)
+
+    def fresh():
+        return make_var_state(1, 2, depth=2, ctx=ctx1, precision=prec)
+
+    # one uninterrupted 6-epoch run
+    s_full = fresh()
+    losses_full = train(s_full, data, epochs=6, batchsize=200)
+
+    # 3 epochs + checkpoint, then resume to 6
+    s_a = fresh()
+    train(s_a, data, epochs=3, batchsize=200,
+          workdir=str(tmp_path), checkpoint_every=1)
+    s_b = fresh()
+    losses_b = train(s_b, data, epochs=6, batchsize=200,
+                     workdir=str(tmp_path), checkpoint_every=1, resume=True)
+    assert len(losses_b) == 3  # epochs 3..5 only
+    np.testing.assert_allclose(losses_b[-1], losses_full[-1], rtol=1e-8)
+    fa, _ = jax.flatten_util.ravel_pytree(s_full.params)
+    fb, _ = jax.flatten_util.ravel_pytree(s_b.params)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fa), rtol=1e-10)

@@ -56,14 +56,38 @@ def train(
     key: int = 0,
     lr: float = 1e-3,
     verbose: bool = False,
+    workdir=None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Fit state.flow to ``data`` (N, dim) by minimizing -E[log p]
-    (train.py:37-59). Mutates state.params; returns the per-epoch losses."""
+    (train.py:37-59). Mutates state.params; returns the per-epoch losses.
+
+    ``workdir`` + ``checkpoint_every`` persist {params, opt_state, epoch} as
+    an orbax pytree checkpoint every N epochs (and at the end); ``resume``
+    restores the latest one before training (the reference never persisted
+    pretrained weights, SURVEY.md section 5.4)."""
     flow = state.flow
     params = state.params
     opt = optax.adam(lr)
     opt_state = opt.init(params)
     rng = jax.random.PRNGKey(key)
+
+    epoch0 = 0
+    if workdir is not None:
+        import os
+
+        from ..utils.checkpoint import load_pytree, save_pytree
+
+        ckpt_path = os.path.join(workdir, "pretrain_ckpt")
+        if resume and os.path.exists(ckpt_path):
+            tree = load_pytree(ckpt_path, dict(params=params,
+                                               opt_state=opt_state,
+                                               epoch=0))
+            params, opt_state = tree["params"], tree["opt_state"]
+            epoch0 = int(tree["epoch"])
+            if verbose:
+                print(f"resumed pretraining from epoch {epoch0}")
 
     def loss_fn(p, batch):
         return -jnp.mean(jax.vmap(flow.log_prob, in_axes=(None, 0))(p, batch))
@@ -76,8 +100,9 @@ def train(
 
     n = data.shape[0] - data.shape[0] % batchsize
     losses = []
-    for epoch in range(epochs):
-        rng, k = jax.random.split(rng)
+    for epoch in range(epoch0, epochs):
+        # purely epoch-indexed key: a resumed run shuffles identically
+        k = jax.random.fold_in(rng, epoch)
         perm = jax.random.permutation(k, data.shape[0])[:n]
         batches = data[perm].reshape(-1, batchsize, data.shape[-1])
         loss = None
@@ -86,7 +111,15 @@ def train(
         losses.append(float(loss))
         if verbose:
             print(f"epoch {epoch}: loss {losses[-1]:.6f}")
+        if (workdir is not None and checkpoint_every
+                and (epoch + 1) % checkpoint_every == 0):
+            save_pytree(workdir, "pretrain_ckpt",
+                        dict(params=params, opt_state=opt_state,
+                             epoch=epoch + 1))
 
+    if workdir is not None and checkpoint_every:
+        save_pytree(workdir, "pretrain_ckpt",
+                    dict(params=params, opt_state=opt_state, epoch=epochs))
     state.params = params
     return losses
 

@@ -45,19 +45,37 @@ def latest_checkpoint(wdir: str):
     return load_checkpoint(path) if os.path.exists(path) else None
 
 
+def _mask_empty(tree):
+    """Orbax cannot serialize zero-size arrays (e.g. the Gauss latent's
+    empty dist_params); stand in a 1-element dummy. The data-free leaves are
+    reconstructed from the restore template."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: np.zeros(1, dtype=getattr(x, "dtype", np.float64))
+        if getattr(x, "size", 1) == 0 else x,
+        tree,
+    )
+
+
 def save_pytree(wdir: str, name: str, tree):
     """Orbax-backed pytree checkpoint (model params, optimizer state)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(wdir, name))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree, force=True)
+    ckptr.save(path, _mask_empty(tree), force=True)
     ckptr.wait_until_finished()
     return path
 
 
 def load_pytree(path: str, template):
+    import jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    restored = ckptr.restore(os.path.abspath(path), _mask_empty(template))
+    return jax.tree.map(
+        lambda t, r: t if getattr(t, "size", 1) == 0 else r,
+        template, restored,
+    )
