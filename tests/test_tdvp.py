@@ -363,3 +363,14 @@ def test_fused_stepper_stages_match_percall(ctx1):
     # recorded info is the FIRST stage's (state at t), per-call parity
     np.testing.assert_allclose(float(r2.info["entropy"]),
                                float(r1.info["entropy"]), rtol=1e-8)
+
+
+def test_fused_steps_gated_by_solver_location(ctx1):
+    """Fused stepper stages need the in-jit update: host-solve configs must
+    not advertise them (their aux carries stats, not an update)."""
+    st, t_dev = make_problem(ctx1, dim=2, n=512,
+                             cfg=TDVPConfig(solve_on_device=True))
+    assert t_dev.fused_steps_available
+    _, t_host = make_problem(ctx1, dim=2, n=512,
+                             cfg=TDVPConfig(solve_on_device=False))
+    assert not t_host.fused_steps_available

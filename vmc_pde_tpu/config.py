@@ -53,6 +53,7 @@ class RunConfig:
     gram_precision: str = "high"    # highest | high | default (MXU passes)
     cg_maxiter: int = 250
     cg_tol: float = 1e-7
+    auto_tol_floor: bool = True  # floor svd_tol at 64*eps(compute dtype)
     chunk_size: int = 0
     integrals: bool = False
 

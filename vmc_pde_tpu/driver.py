@@ -81,6 +81,7 @@ def build_problem(cfg: RunConfig):
         gram_precision=cfg.gram_precision,
         cg_maxiter=cfg.cg_maxiter,
         cg_tol=cfg.cg_tol,
+        auto_tol_floor=cfg.auto_tol_floor,
         compute_sexp=(cfg.stepper == "adaptive_heun"),
         solve_on_device=cfg.solve_on_device,
         chunk_size=cfg.chunk_size,

@@ -908,10 +908,11 @@ class TDVP:
 
     @property
     def fused_steps_available(self) -> bool:
-        """The fused pair/attempt sample in-jit, so they need an exact
-        latent; the MCMC path keeps per-stage dispatch (its chain state
-        threads through the host)."""
-        return self.sampler.exact
+        """The fused pair/attempt sample AND solve in-jit, so they need an
+        exact latent and the on-device solve; the MCMC path keeps per-stage
+        dispatch (its chain state threads through the host), and the host
+        f64 eigensolve path returns stats instead of an in-jit update."""
+        return self.sampler.exact and self.cfg.solve_on_device
 
     def heun_pair(self, theta, t, dt, key):
         """(dy, aux) for a whole fixed-Heun step in one dispatch."""
