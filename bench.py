@@ -41,7 +41,7 @@ def log(*a):
 
 
 def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
-          solver="auto", gram_precision="high"):
+          solver="auto", gram_precision="high", gram_backend="auto"):
     import jax.numpy as jnp
 
     from vmc_pde_tpu.models.flow import build_flow
@@ -62,7 +62,8 @@ def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
     tdvp = TDVP(state, eq,
                 TDVPConfig(compute_snr=False, observables=False,
                            chunk_size=chunk, solver_method=solver,
-                           gram_precision=gram_precision),
+                           gram_precision=gram_precision,
+                           gram_backend=gram_backend),
                 n_samples=n_samples, n_samples_obs=n_samples, precision=prec)
     return state, tdvp
 
@@ -255,10 +256,16 @@ def main():
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--samples", type=int, default=16384)
-    ap.add_argument("--chunk", type=int, default=2048,
-                    help="streaming Gram chunk size (0 = direct)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="streaming Gram chunk size (0 = direct, which "
+                         "lets the auto gram backend use the triangle "
+                         "syrk kernel on single-chip TPU)")
     ap.add_argument("--gram-precision", type=str, default="high",
                     choices=["highest", "high", "default"])
+    ap.add_argument("--gram-backend", type=str, default="auto",
+                    choices=["auto", "xla", "syrk"],
+                    help="Gram contraction backend (syrk = triangle-only "
+                         "Pallas kernel; 'auto' uses it on single-chip TPU)")
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky", "cg"])
     ap.add_argument("--quick", action="store_true",
@@ -285,9 +292,11 @@ def main():
     # --- headline: north-star shape, pure device throughput -------------
     state, tdvp = build(args.dim, args.depth, args.samples,
                         chunk=args.chunk, solver=args.solver,
-                        gram_precision=args.gram_precision)
+                        gram_precision=args.gram_precision,
+                        gram_backend=args.gram_backend)
     log(f"solver={tdvp.solver_method} chunk={args.chunk} "
-        f"gram={args.gram_precision}")
+        f"gram={args.gram_precision} "
+        f"backend={'syrk' if tdvp._use_syrk else 'xla'}")
     log(f"dim={args.dim} n_params={state.numParameters} "
         f"n_samples={tdvp.n_samples}")
 

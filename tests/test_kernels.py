@@ -208,3 +208,43 @@ def test_metropolis_kernel_statistics_match_scan_path():
     hs, _ = np.histogram(rs, bins=edges, density=True)
     l1 = np.abs(hk - hs).mean() / hs.mean()
     assert l1 < 0.15, l1
+
+
+# ---------------------------------------------------------------------------
+# Triangle (syrk) Gram kernel: kernels/syrk.py
+# ---------------------------------------------------------------------------
+from vmc_pde_tpu.kernels.syrk import syrk
+
+
+@pytest.mark.parametrize("N,P", [(1024, 512), (512, 300), (100, 937)])
+def test_syrk_matches_numpy(N, P):
+    """Triangle-only contraction == full O^T O at 3-pass f32-grade accuracy,
+    including parameter counts that need tile padding and sample counts that
+    need chunk padding."""
+    rng = np.random.default_rng(0)
+    O = rng.normal(size=(N, P)).astype(np.float32)
+    S = np.asarray(syrk(jnp.asarray(O), interpret=True))
+    ref = O.T @ O
+    np.testing.assert_allclose(S, ref, atol=2e-5 * np.abs(ref).max())
+    assert S.shape == (P, P)
+
+
+def test_syrk_weighted_signed():
+    """Per-sample weights may be signed (the chunked-stats sum_EOO moment
+    uses centered Eloc as the weight); the product stays symmetric."""
+    rng = np.random.default_rng(1)
+    N, P = 512, 384
+    O = rng.normal(size=(N, P)).astype(np.float32)
+    w = rng.normal(size=N).astype(np.float32)
+    S = np.asarray(syrk(jnp.asarray(O), w=jnp.asarray(w), interpret=True))
+    ref = O.T @ (O * w[:, None])
+    np.testing.assert_allclose(S, ref, atol=3e-5 * np.abs(ref).max())
+
+
+def test_syrk_small_tile_autoshrink():
+    """tile/chunk larger than the (padded) problem must auto-shrink."""
+    rng = np.random.default_rng(2)
+    O = rng.normal(size=(48, 70)).astype(np.float32)
+    S = np.asarray(syrk(jnp.asarray(O), tile=512, chunk=256, interpret=True))
+    ref = O.T @ O
+    np.testing.assert_allclose(S, ref, atol=2e-5 * np.abs(ref).max())

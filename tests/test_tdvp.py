@@ -374,3 +374,51 @@ def test_fused_steps_gated_by_solver_location(ctx1):
     _, t_host = make_problem(ctx1, dim=2, n=512,
                              cfg=TDVPConfig(solve_on_device=False))
     assert not t_host.fused_steps_available
+
+
+def test_gram_backend_syrk_matches_xla(ctx1):
+    """The triangle (syrk) Gram backend must reproduce the XLA-matmul
+    statistics -- S0, the SNR second moment A, and SExp -- on identical
+    samples, on both the direct and the chunked accumulation paths.
+    (On CPU the kernel runs in interpret mode; precision differences are
+    the 3-pass bf16 split's, ~1e-6 relative.)"""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")  # f32 compute: the regime the kernel serves
+    kw = dict(compute_snr=True, compute_sexp=True, gram_precision="high")
+    for chunk in (0, 512):
+        cfg_x = TDVPConfig(gram_backend="xla", chunk_size=chunk, **kw)
+        cfg_s = TDVPConfig(gram_backend="syrk", chunk_size=chunk, **kw)
+        st, t_x = make_problem(ctx1, dim=2, n=2048, cfg=cfg_x, prec=prec)
+        _, t_s = make_problem(ctx1, dim=2, n=2048, cfg=cfg_s, prec=prec)
+        assert t_s._use_syrk and not t_x._use_syrk
+
+        theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+        params = t_x._unravel(theta_c)
+        z = st.flow.latent_sample(jax.random.PRNGKey(5), params, 2048,
+                                  dtype=prec.compute)
+        x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+        stats_fn = "_chunked_stats" if chunk else "_direct_stats"
+        s_x = getattr(t_x, stats_fn)(theta_c, 0.0, x)
+        s_s = getattr(t_s, stats_fn)(theta_c, 0.0, x)
+        for key in ("S0", "A", "SExp"):
+            a, b = np.asarray(s_x[key]), np.asarray(s_s[key])
+            np.testing.assert_allclose(
+                b, a, atol=5e-5 * np.abs(a).max(),
+                err_msg=f"{key} (chunk={chunk})")
+        np.testing.assert_allclose(np.asarray(s_s["F0"]),
+                                   np.asarray(s_x["F0"]), rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_gram_backend_validation(ctx1):
+    with pytest.raises(ValueError, match="gram_backend"):
+        make_problem(ctx1, cfg=TDVPConfig(gram_backend="nope"))
+
+
+def test_gram_backend_auto_is_xla_off_tpu(ctx1):
+    """'auto' must not pick the single-device kernel on CPU meshes (and by
+    the same predicate, on multi-device TPU meshes)."""
+    st, tdvp = make_problem(ctx1, cfg=TDVPConfig(gram_backend="auto"))
+    assert not tdvp._use_syrk

@@ -51,6 +51,7 @@ class RunConfig:
     solver_method: str = "auto"     # auto | eigh | cholesky | cg
     eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
     gram_precision: str = "high"    # highest | high | default (MXU passes)
+    gram_backend: str = "auto"      # auto | xla | syrk (triangle kernel)
     cg_maxiter: int = 250
     cg_tol: float = 1e-7
     auto_tol_floor: bool = True  # floor svd_tol at 64*eps(compute dtype)

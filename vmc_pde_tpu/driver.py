@@ -79,6 +79,7 @@ def build_problem(cfg: RunConfig):
         solver_method=cfg.solver_method,
         eigh_max_params=cfg.eigh_max_params,
         gram_precision=cfg.gram_precision,
+        gram_backend=cfg.gram_backend,
         cg_maxiter=cfg.cg_maxiter,
         cg_tol=cfg.cg_tol,
         auto_tol_floor=cfg.auto_tol_floor,
@@ -285,6 +286,10 @@ def main(argv=None):
     p.add_argument("--gram-precision", type=str, default=None,
                    choices=["highest", "high", "default"],
                    help="MXU pass count for Gram/statistics matmuls")
+    p.add_argument("--gram-backend", type=str, default=None,
+                   choices=["auto", "xla", "syrk"],
+                   help="Gram contraction backend (syrk = triangle-only "
+                        "Pallas kernel, kernels/syrk.py)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help=">0: stream samples through the stats in chunks")
     p.add_argument("--stepper", type=str, default=None,
@@ -337,6 +342,8 @@ def main(argv=None):
         overrides["solver_method"] = args.solver
     if args.gram_precision is not None:
         overrides["gram_precision"] = args.gram_precision
+    if args.gram_backend is not None:
+        overrides["gram_backend"] = args.gram_backend
     if args.chunk_size is not None:
         overrides["chunk_size"] = args.chunk_size
     if args.stepper is not None:

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.syrk import syrk as _syrk
 from ..models.state import VarState
 from ..ops import score
 from ..ops.evolution import Equation
@@ -81,6 +82,14 @@ class TDVPConfig:
     # -- 3-pass rounding sits far below the f32 tolerance floor), "default"
     # (1-pass bf16: too coarse for the spectral solve).
     gram_precision: str = "high"
+    # Gram contraction backend. "syrk" computes only the lower-triangle
+    # tiles of the symmetric S = O^T O with a Pallas kernel (half the MXU
+    # passes of XLA's full matmul at identical 3-pass numerics,
+    # kernels/syrk.py); "xla" is the plain matmul; "auto" picks syrk on a
+    # single-device TPU mesh with f32 "high"-precision stats and xla
+    # otherwise (multi-device meshes need XLA's SPMD partitioning of the
+    # contraction).
+    gram_backend: str = "auto"
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
     # (tdvp.py:57-71, main.py:186-187), which the O(P^3) eigh makes
@@ -337,6 +346,27 @@ class TDVP:
                 cfg = dataclasses.replace(cfg, compute_snr=keep_snr,
                                           use_snr=False)
                 self.cfg = cfg
+        if cfg.gram_backend not in ("auto", "xla", "syrk"):
+            raise ValueError(f"unknown gram_backend {cfg.gram_backend!r}")
+        if cfg.gram_backend == "auto":
+            # The triangle kernel halves the Gram MXU work but is a
+            # single-device program; sharded meshes keep the XLA matmul,
+            # which SPMD-partitions with ICI collectives. Its 3-pass split
+            # is the "high" operating point for f32 stats. The chunked
+            # streaming path also keeps XLA: a per-chunk kernel call pays
+            # the (P, P) mirror + read-modify-write every scan step, which
+            # costs more than the triangle saves (measured 93 vs 80 ms at
+            # the d=32 bench shape).
+            self._use_syrk = (
+                jax.default_backend() == "tpu"
+                and self.ctx.mesh.size == 1
+                and cfg.gram_precision == "high"
+                and self.precision.compute == jnp.float32
+                and not (0 < cfg.chunk_size < self.n_samples)
+            )
+        else:
+            self._use_syrk = cfg.gram_backend == "syrk"
+
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
         self._hess_idx = equation.hessian_coords(self.flow.dim)
@@ -398,18 +428,22 @@ class TDVP:
         cdt = self.precision.compute
         mp = stats.PRECISIONS[cfg.gram_precision]
         F0 = jnp.matmul(e_c, O_c, precision=mp) / n
-        S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
-                                        precision=mp)
+        if self._use_syrk:
+            gram = lambda w=None: _syrk(O_c, w=w).astype(cdt) / n
+            S0 = gram()
+        else:
+            gram = lambda w=None: stats.weighted_second_moment_matrix(
+                O_c, w, cdt, precision=mp)
+            S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
+                                            precision=mp)
         S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
 
         A = None
         if cfg.compute_snr or cfg.use_snr:
-            A = stats.weighted_second_moment_matrix(O_c, e_c**2, cdt,
-                                                    precision=mp)
+            A = gram(e_c**2)
         SExp = None
         if cfg.compute_sexp:
-            SExp = stats.weighted_second_moment_matrix(O_c, logp**2, cdt,
-                                                       precision=mp)
+            SExp = gram(logp**2)
 
         return dict(
             logp=logp,
@@ -451,6 +485,14 @@ class TDVP:
 
         want_A = cfg.compute_snr or cfg.use_snr
 
+        if self._use_syrk:
+            # triangle kernel: unnormalized chunk sums Os^T diag(w) Os
+            gram_sum = lambda Os, w=None: _syrk(Os, w=w).astype(cdt)
+        else:
+            gram_sum = lambda Os, w=None: jnp.matmul(
+                Os.T, Os if w is None else Os * w[:, None],
+                preferred_element_type=cdt, precision=mp)
+
         def chunk_fn(carry, xc, batch=None):
             logp, eloc, O = (batch if batch is not None
                              else self._per_sample_batch(theta_c, xc, t))
@@ -464,32 +506,21 @@ class TDVP:
                 sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
                 sum_EO=carry["sum_EO"]
                 + jnp.matmul(es, Os, precision=mp),
-                sum_OO=carry["sum_OO"]
-                + jnp.matmul(Os.T, Os, preferred_element_type=cdt,
-                             precision=mp),
+                sum_OO=carry["sum_OO"] + gram_sum(Os),
                 sum_logp=carry["sum_logp"] + jnp.sum(logp),
             )
             if want_A:
                 w = es**2
                 upd["sum_E2O"] = carry["sum_E2O"] + jnp.matmul(
                     w, Os, precision=mp)
-                upd["sum_E2OO"] = carry["sum_E2OO"] + jnp.matmul(
-                    Os.T, Os * w[:, None], preferred_element_type=cdt,
-                    precision=mp,
-                )
-                upd["sum_EOO"] = carry["sum_EOO"] + jnp.matmul(
-                    Os.T, Os * es[:, None], preferred_element_type=cdt,
-                    precision=mp,
-                )
+                upd["sum_E2OO"] = carry["sum_E2OO"] + gram_sum(Os, w)
+                upd["sum_EOO"] = carry["sum_EOO"] + gram_sum(Os, es)
             if cfg.compute_sexp:
                 w = logp**2
                 upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
                 upd["sum_l2O"] = carry["sum_l2O"] + jnp.matmul(
                     w, Os, precision=mp)
-                upd["sum_l2OO"] = carry["sum_l2OO"] + jnp.matmul(
-                    Os.T, Os * w[:, None], preferred_element_type=cdt,
-                    precision=mp,
-                )
+                upd["sum_l2OO"] = carry["sum_l2OO"] + gram_sum(Os, w)
             return upd, (logp, eloc)
 
         zero = dict(
