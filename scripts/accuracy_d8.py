@@ -1,0 +1,123 @@
+"""Dim-8 Gauss diffusion accuracy study: entropy error vs the analytic
+closed form, per seed and per solver configuration.
+
+The reference's headline accuracy artifact is the dim-8 Gaussian diffusion
+run (paper_plot/data_diffusion/dim8_Gauss_*/infos.hdf5): entropy
+S(t) = d/2 log(2 pi e (1 + 2 D t)) (visualization.py:188), max transient
+error 0.057 over t in [0, 5]. Round 1 measured 0.118 on the TPU f32 path
+vs 0.088 in f64 -- this script separates the f32-statistics contribution
+from plain MC/seed noise by sweeping seeds and solver knobs on the same
+hardware (ROADMAP.md item 1 / round-1 verdict item 10).
+
+Usage:
+  python scripts/accuracy_d8.py --seed 1 [--use-snr] [--svd-tol X]
+      [--gram-precision high] [--precision tpu] [--samples 10000]
+      [--t-end 5.0] [--json-out FILE]
+
+Prints one JSON line with {seed, steps, entropy_err_max/mean/final,
+residual_median, config}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+import sys
+
+import numpy as np
+
+
+def analytic_entropy(d, t, D=1.0):
+    return d / 2.0 * math.log(2.0 * math.pi * math.e) \
+        + d / 2.0 * np.log1p(2.0 * D * np.asarray(t))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=1,
+                    help="sets BOTH the init seed and the sampling stream")
+    ap.add_argument("--samples", type=int, default=10000)
+    ap.add_argument("--samples-obs", type=int, default=None,
+                    help="observable budget (default = --samples); raising "
+                         "it shrinks the entropy ESTIMATOR noise without "
+                         "changing the dynamics")
+    ap.add_argument("--t-end", type=float, default=5.0)
+    ap.add_argument("--precision", type=str, default="tpu")
+    ap.add_argument("--gram-precision", type=str, default="high")
+    ap.add_argument("--gram-backend", type=str, default="auto")
+    ap.add_argument("--use-snr", action="store_true")
+    ap.add_argument("--snr-tol", type=float, default=2.0)
+    ap.add_argument("--svd-tol", type=float, default=1e-11)
+    ap.add_argument("--no-tol-floor", action="store_true")
+    ap.add_argument("--solver", type=str, default="auto")
+    ap.add_argument("--increase-fac", type=float, default=1.3,
+                    help="dt ramp factor; the reference's 517-step dim-8 "
+                         "runs imply ~2.0 (17 ramp steps + 500 cruise)")
+    ap.add_argument("--dt0", type=float, default=1e-7)
+    ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument("--dump-curve", type=str, default=None,
+                    help="write times/entropy/err arrays to this .npz")
+    ap.add_argument("--solve-on-host", action="store_true",
+                    help="host numpy f64 eigensolve (reference default)")
+    args = ap.parse_args(argv)
+
+    from vmc_pde_tpu.config import RunConfig
+    from vmc_pde_tpu.driver import run
+
+    cfg = RunConfig(
+        name=f"d8gauss_seed{args.seed}",
+        dim=8, offset=(0.0,) * 8, latent_name="Gauss",
+        equation="diffusion", variant="scale",
+        dt0=args.dt0, max_step=1e-2, t_end=args.t_end,
+        increase_fac=args.increase_fac,
+        n_samples_tdvp=args.samples,
+        n_samples_obs=args.samples_obs or args.samples,
+        seed=args.seed, sample_seed=args.seed, precision=args.precision,
+        gram_precision=args.gram_precision,
+        gram_backend=args.gram_backend,
+        use_snr=args.use_snr, snr_tol=args.snr_tol, svd_tol=args.svd_tol,
+        auto_tol_floor=not args.no_tol_floor,
+        solver_method=args.solver,
+        solve_on_device=not args.solve_on_host,
+        workdir=None, verbose=False,
+    )
+    state, rec = run(cfg)
+    infos = rec.as_arrays()
+    t = np.asarray(infos["times"])
+    S = np.asarray(infos["entropy"])
+    err = np.abs(S - analytic_entropy(8, t))
+    res = np.asarray(infos["solver_res"])
+    out = {
+        "seed": args.seed,
+        "steps": int(t.size),
+        "t_final": float(t[-1]),
+        "entropy_err_max": round(float(err.max()), 5),
+        "entropy_err_mean": round(float(err.mean()), 5),
+        "entropy_err_final": round(float(err[-1]), 5),
+        "t_at_max_err": round(float(t[np.argmax(err)]), 4),
+        "residual_median": float(np.median(res)),
+        "config": {
+            "precision": args.precision,
+            "gram_precision": args.gram_precision,
+            "use_snr": args.use_snr,
+            "svd_tol": args.svd_tol,
+            "auto_tol_floor": not args.no_tol_floor,
+            "samples": args.samples,
+            "samples_obs": args.samples_obs or args.samples,
+            "increase_fac": args.increase_fac,
+            "dt0": args.dt0,
+        },
+    }
+    if args.dump_curve:
+        np.savez(args.dump_curve, times=t, entropy=S, err=err, res=res)
+    line = json.dumps(out)
+    print(line, flush=True)
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
