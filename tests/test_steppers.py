@@ -62,6 +62,30 @@ def test_dt_ramp():
     assert all(b >= a for a, b in zip(dts, dts[1:]))
 
 
+def test_fixed_heun_info_is_pre_step_state():
+    """Observables must come from the FIRST stage (the state at time t), so
+    the driver's ``times``/``info`` pairing is exact -- the reference's
+    FixedStepper returns the predictor stage's info against the pre-step time
+    (stepper.py:133-139 + main.py:163), a one-step observable skew fixed as
+    quirk Q10.  The NaN flag, however, folds in the second stage so
+    divergence is caught immediately."""
+    calls = []
+
+    def f(y, t, key, intStep=0):
+        calls.append(intStep)
+        return -y, {"stage": intStep, "obs": float(y[0]),
+                    "nan": jnp.isnan(y[0]) | (intStep == 1)}
+
+    stepper = FixedStepper(timeStep=0.1, maxStep=0.1, increase_fac=1.0,
+                           mode="Heun")
+    y = jnp.array([2.0])
+    res = stepper.step(0.0, f, y, key=None)
+    assert calls == [0, 1]
+    assert res.info["stage"] == 0
+    assert res.info["obs"] == 2.0  # the pre-step state, not the predictor
+    assert bool(res.info["nan"])  # stage-1 NaN flag is OR-ed in
+
+
 def test_adaptive_heun_converges_and_adapts():
     def norm_fn(v, S):
         return float(jnp.linalg.norm(v))

@@ -56,8 +56,22 @@ class FixedStepper:
             if self.pair_fn is not None:
                 dy, info = self.pair_fn(y, t, dt, key)
                 return StepResult(y + dy, dt, info)
-            k0, _ = f(y, t, key, intStep=0)
-            k1, info = f(y + dt * k0, t + dt, key, intStep=1)
+            # Observables come from the FIRST stage -- the state at time t --
+            # so the driver's `rec.append("times", t)` pairing is exact.  The
+            # reference's FixedStepper returns the SECOND stage's info (the
+            # predictor state at t + dt, stepper.py:133-139) while main.py:163
+            # records it against the pre-step t: a one-step observable skew of
+            # +dS/dt * dt (~0.07 entropy error early in the dim-8 diffusion
+            # run).  Its AdaptiveHeun (stepper.py:54) -- which produced the
+            # shipped paper data -- uses the first stage; we make both
+            # steppers consistent with that convention (fixed quirk Q10).
+            # Only the NaN flag is folded in from the second stage so
+            # divergence detection is not delayed by a step.
+            k0, info = f(y, t, key, intStep=0)
+            k1, info1 = f(y + dt * k0, t + dt, key, intStep=1)
+            if "nan" in info and "nan" in info1:
+                info = dict(info)
+                info["nan"] = info["nan"] | info1["nan"]
             return StepResult(y + 0.5 * dt * (k0 + k1), dt, info)
         k0, info = f(y, t, key, intStep=0)
         return StepResult(y + dt * k0, dt, info)

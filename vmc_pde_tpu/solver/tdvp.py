@@ -885,9 +885,16 @@ class TDVP:
         return aux["update"].astype(th.dtype), aux
 
     def _heun_pair_impl(self, theta_c, t, dt, key, n: int, n_obs: int):
-        """Fixed-Heun pair: dy = dt/2 (k0 + k1) (stepper.py:133-139)."""
-        k0, _ = self._stage(theta_c, t, key, 0, n, n_obs)
-        k1, aux = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs)
+        """Fixed-Heun pair: dy = dt/2 (k0 + k1) (stepper.py:133-139).
+
+        The returned aux is the FIRST stage's -- observables at the state at
+        time t, matching the driver's time pairing and the adaptive path's
+        convention (fixed quirk Q10; see FixedStepper.step).  The NaN flag is
+        OR-ed across both stages."""
+        k0, aux = self._stage(theta_c, t, key, 0, n, n_obs)
+        k1, aux1 = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs)
+        aux = dict(aux)
+        aux["nan"] = aux["nan"] | aux1["nan"]
         return 0.5 * dt * (k0 + k1), aux
 
     def _heun_attempt_impl(self, theta_c, t, dt, key, off, n: int,
