@@ -103,13 +103,21 @@ def test_fluidpaper_model_vs_oracle_trajectory():
     o_x1 = np.asarray(oinfos["x1"])
     o_cov = np.asarray(oinfos["covar"])
 
-    # model record i holds observables of the Heun stage at t_{i+1}
+    # model record i holds observables of the state at t_i (first-stage
+    # info -- the Q10 pairing fix, steppers.py), matching oracle index i.
+    # Tolerances reflect the model's MCMC observable noise at this budget:
+    # 100 chains x 30 samples each are autocorrelated ACROSS records too
+    # (the same chains evolve step to step), so ~5e-3 per-component swings
+    # persist for many steps; per-index agreement is ~1e-2 and the
+    # window-averaged mean offset is the sharper statistic.
     m_x1 = np.asarray(infos["x1"])
     m_cov = np.asarray(infos["covar"])
     for i in (10, 30, n_steps - 1):
-        np.testing.assert_allclose(m_x1[i], o_x1[i + 1], atol=8e-3)
-        np.testing.assert_allclose(np.diag(m_cov[i]), np.diag(o_cov[i + 1]),
+        np.testing.assert_allclose(m_x1[i], o_x1[i], atol=1.5e-2)
+        np.testing.assert_allclose(np.diag(m_cov[i]), np.diag(o_cov[i]),
                                    rtol=0.10)
+    window_bias = np.abs((m_x1 - o_x1[:len(m_x1)]).mean(axis=0))
+    assert window_bias.max() < 1.2e-2, window_bias
     # the window is discriminating: the cloud actually moved and deformed
     assert np.linalg.norm(o_x1[-1] - o_x1[0]) > 0.025
     assert abs(o_cov[-1][1, 1] / o_cov[0][1, 1] - 1) > 0.15

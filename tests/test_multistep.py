@@ -1,0 +1,76 @@
+"""Multi-step dispatch (TDVP.heun_multi / RunConfig.steps_per_dispatch):
+batching K fixed-Heun steps into one lax.scan program must reproduce the
+per-step path exactly -- same RNG stream, same recorded infos schema, same
+trajectory -- because it is the same computation with host dispatch
+amortized (driver.plan_batch + solver/tdvp.py)."""
+
+import numpy as np
+import pytest
+
+from vmc_pde_tpu.config import RunConfig
+from vmc_pde_tpu.driver import run
+
+
+def _cfg(**kw):
+    base = dict(
+        name="multistep_test",
+        dim=4,
+        offset=(0.0,) * 4,
+        latent_name="Gauss",
+        equation="diffusion",
+        variant="scale",
+        dt0=1e-3,
+        max_step=1e-2,
+        increase_fac=1.3,
+        t_end=0.08,
+        n_samples_tdvp=512,
+        n_samples_obs=512,
+        seed=3,
+        sample_seed=3,
+        precision="f64",
+        workdir=None,
+        verbose=False,
+    )
+    base.update(kw)
+    return RunConfig(**base)
+
+
+@pytest.mark.slow
+def test_multistep_matches_per_step():
+    state1, rec1 = run(_cfg(steps_per_dispatch=1))
+    state4, rec4 = run(_cfg(steps_per_dispatch=4))
+    a1, a4 = rec1.as_arrays(), rec4.as_arrays()
+
+    # same step count and identical recorded times (ramp plan mirrors the
+    # host loop exactly, never overshooting t_end)
+    assert a1["times"].shape == a4["times"].shape
+    np.testing.assert_array_equal(a1["times"], a4["times"])
+
+    # same infos schema (dist_params included in the batched path)
+    assert set(a1) == set(a4)
+    # Not bit-identical: XLA compiles the scan body and the standalone pair
+    # separately, so reduction orders differ at ~1 ulp, and the svd_tol-
+    # thresholded solve amplifies that into ~1e-8 parameter divergence over
+    # the run. Same RNG stream, same physics; tolerances reflect only that
+    # compilation-context noise.
+    for k in ("entropy", "solver_res", "tdvp_error", "covar", "x1"):
+        np.testing.assert_allclose(a1[k], a4[k], rtol=1e-5, atol=1e-8,
+                                   err_msg=k)
+
+    th1 = np.asarray(state1.get_parameters())
+    th4 = np.asarray(state4.get_parameters())
+    np.testing.assert_allclose(th1, th4, rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multistep_checkpoint_boundaries(tmp_path):
+    """Checkpoint cadence must be preserved: batches never swallow a
+    boundary step (plan_batch falls back to per-step there)."""
+    w1, w4 = str(tmp_path / "s1"), str(tmp_path / "s4")
+    run(_cfg(steps_per_dispatch=1, workdir=w1, checkpoint_every=5))
+    run(_cfg(steps_per_dispatch=4, workdir=w4, checkpoint_every=5))
+    import os
+
+    c1 = sorted(f for f in os.listdir(w1) if f.startswith("ckpt_"))
+    c4 = sorted(f for f in os.listdir(w4) if f.startswith("ckpt_"))
+    assert c1 == c4 and len(c1) > 1

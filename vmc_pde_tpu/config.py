@@ -65,6 +65,12 @@ class RunConfig:
     increase_fac: float = 1.3
     tol: float = 1e-2               # adaptive stepper tolerance
     t_end: float = 5.0
+    # >1 batches that many fixed-Heun steps into ONE device dispatch
+    # (lax.scan in TDVP.heun_multi), amortizing host dispatch latency;
+    # RNG/physics/recorded infos identical to per-step integration.
+    # Auto-disabled when a per-step host action applies (verbose logging,
+    # 2-D grid plotting, profiler window, callbacks, MCMC sampler).
+    steps_per_dispatch: int = 1
 
     # runtime
     precision: str = "tpu"          # tpu | f32 | f64 (utils/dtypes.py)

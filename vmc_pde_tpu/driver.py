@@ -186,9 +186,70 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     if grid is not None and cfg.verbose:
         print("Initial grid integral:", float(state.integrate(grid)))
 
+    # Multi-step dispatch (TDVP.heun_multi): batch steps_per_dispatch
+    # fixed-Heun steps into one lax.scan program. Only full batches run
+    # batched (two compiled shapes: K and 1); any per-step host action --
+    # verbose logging, 2-D grid plotting, profiler window, callbacks,
+    # checkpoint boundaries, the host-threaded MCMC chain state -- falls
+    # back to per-step dispatch.
+    multi_ok = (
+        cfg.steps_per_dispatch > 1
+        and isinstance(stepper, FixedStepper)
+        and stepper.mode == "Heun"
+        and stepper.pair_fn is not None
+        and not cfg.verbose
+        and not callbacks
+        and grid is None
+        and not cfg.profile_dir
+    )
+
+    def plan_batch(t, dt, n_step, steps_done):
+        """(K, ts, dts) for the next batch: the deterministic ramp
+        dt <- min(dt * increase_fac, max_step) simulated K steps ahead,
+        mirroring the loop condition so t_end is never overshot."""
+        K = cfg.steps_per_dispatch
+        if steps_done + K > max_steps:
+            return 1, (), ()
+        if cfg.checkpoint_every and wdir and any(
+                (n_step + i) % cfg.checkpoint_every == 0 for i in range(K)):
+            return 1, (), ()
+        ts_l, dts_l = [], []
+        t_sim, dt_sim = t, dt
+        for _ in range(K):
+            if not (t_sim < cfg.t_end + dt_sim):
+                return 1, (), ()
+            dt_sim = min(dt_sim * stepper.increase_fac, stepper.maxStep)
+            ts_l.append(t_sim)
+            dts_l.append(dt_sim)
+            t_sim += dt_sim
+        return K, ts_l, dts_l
+
     steps_done = 0
     profiling = False
     while t < cfg.t_end + dt and steps_done < max_steps:
+        if multi_ok:
+            K, ts_l, dts_l = plan_batch(t, dt, n_step, steps_done)
+            if K > 1:
+                step_keys = []
+                for _ in range(K):
+                    key, sk = jax.random.split(key)
+                    step_keys.append(sk)
+                with timings.section("step"):
+                    theta, auxs = tdvp.heun_multi(theta, ts_l, dts_l,
+                                                  jnp.stack(step_keys))
+                state.set_parameters(theta)
+                pending_nan.append((auxs["nan"].any(), t))
+                rec.append_block("times", np.asarray(ts_l))
+                rec.append_dict_block({k: v for k, v in auxs.items()
+                                       if not isinstance(v, dict)})
+                t = ts_l[-1] + dts_l[-1]
+                dt = stepper.dt = dts_l[-1]
+                cadence = max(cfg.nan_check_every, 1)
+                if (n_step + K) // cadence != n_step // cadence:
+                    check_nan()
+                n_step += K
+                steps_done += K
+                continue
         if cfg.profile_dir:
             # jax.profiler trace over a step window (SURVEY.md section 5.1:
             # the reference has wall-clock sections only, no profiler)
@@ -294,6 +355,10 @@ def main(argv=None):
                    help=">0: stream samples through the stats in chunks")
     p.add_argument("--stepper", type=str, default=None,
                    choices=["fixed_heun", "fixed_euler", "adaptive_heun"])
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help=">1: batch that many fixed-Heun steps into one "
+                        "device dispatch (lax.scan; disables per-step "
+                        "verbose logging)")
     p.add_argument("--mesh-dp", type=int, default=None,
                    help="sample-parallel mesh size (-1 = all devices)")
     p.add_argument("--mesh-tp", type=int, default=None,
@@ -348,6 +413,10 @@ def main(argv=None):
         overrides["chunk_size"] = args.chunk_size
     if args.stepper is not None:
         overrides["stepper"] = args.stepper
+    if args.steps_per_dispatch is not None:
+        overrides["steps_per_dispatch"] = args.steps_per_dispatch
+        if args.steps_per_dispatch > 1:
+            overrides["verbose"] = False
     if args.mesh_dp is not None:
         overrides["mesh_dp"] = args.mesh_dp
     if args.mesh_tp is not None:
