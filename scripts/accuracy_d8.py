@@ -61,6 +61,9 @@ def main(argv=None):
                     help="write times/entropy/err arrays to this .npz")
     ap.add_argument("--solve-on-host", action="store_true",
                     help="host numpy f64 eigensolve (reference default)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help=">1: batch fixed-Heun steps into one device "
+                         "dispatch (TDVP.heun_multi)")
     args = ap.parse_args(argv)
 
     from vmc_pde_tpu.config import RunConfig
@@ -81,9 +84,14 @@ def main(argv=None):
         auto_tol_floor=not args.no_tol_floor,
         solver_method=args.solver,
         solve_on_device=not args.solve_on_host,
+        steps_per_dispatch=args.steps_per_dispatch,
         workdir=None, verbose=False,
     )
+    import time
+
+    t_wall = -time.perf_counter()
     state, rec = run(cfg)
+    t_wall += time.perf_counter()
     infos = rec.as_arrays()
     t = np.asarray(infos["times"])
     S = np.asarray(infos["entropy"])
@@ -98,6 +106,8 @@ def main(argv=None):
         "entropy_err_final": round(float(err[-1]), 5),
         "t_at_max_err": round(float(t[np.argmax(err)]), 4),
         "residual_median": float(np.median(res)),
+        "wall_s": round(t_wall, 1),
+        "steps_per_dispatch": args.steps_per_dispatch,
         "config": {
             "precision": args.precision,
             "gram_precision": args.gram_precision,

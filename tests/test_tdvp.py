@@ -422,3 +422,65 @@ def test_gram_backend_auto_is_xla_off_tpu(ctx1):
     the same predicate, on multi-device TPU meshes)."""
     st, tdvp = make_problem(ctx1, cfg=TDVPConfig(gram_backend="auto"))
     assert not tdvp._use_syrk
+
+
+def test_minsr_matches_eigh_underdetermined(ctx1):
+    """P >> N regime (the one minSR exists for): the kernel-space solve must
+    reproduce the spectral pseudo-inverse's minimum-norm update -- both cut
+    the same null space and filter the same nonzero modes -- and expose the
+    full nonzero spectrum ev = mu/N."""
+    cfg_e = TDVPConfig(solver_method="eigh")
+    cfg_m = TDVPConfig(solver_method="minsr")
+    st, t_e = make_problem(ctx1, dim=4, n=64, cfg=cfg_e)
+    _, t_m = make_problem(ctx1, dim=4, n=64, cfg=cfg_m)
+    assert t_m.n_params > t_m.n_samples  # underdetermined, rank <= N-1
+    key = jax.random.PRNGKey(11)
+    theta = st.get_parameters()
+    u_e, a_e = t_e.rhs(theta, 0.0, key)
+    u_m, a_m = t_m.rhs(theta, 0.0, key)
+    cos = float(u_e @ u_m / (jnp.linalg.norm(u_e) * jnp.linalg.norm(u_m)))
+    assert cos > 0.9999, cos
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(u_m - u_e)) / float(jnp.linalg.norm(u_e)),
+        0.0, atol=1e-3)
+    # spectra agree on the nonzero modes: eigh's top-N of the (P, P) Gram
+    # == kernel mu/N
+    ev_e = np.sort(np.asarray(a_e["ev"]))[-8:]
+    ev_m = np.sort(np.asarray(a_m["ev"]))[-8:]
+    np.testing.assert_allclose(ev_m, ev_e, rtol=1e-8)
+    assert a_m["ev"].shape[0] == t_m.n_samples
+    # per-mode SNR agrees on the dominant modes (kernel-basis identity)
+    snr_e = np.asarray(a_e["snr"])[np.argsort(np.asarray(a_e["ev"]))][-4:]
+    snr_m = np.asarray(a_m["snr"])[np.argsort(np.asarray(a_m["ev"]))][-4:]
+    np.testing.assert_allclose(snr_m, snr_e, rtol=1e-5)
+
+
+def test_minsr_matches_eigh_overdetermined_physics(ctx1):
+    """N > P still works (T has N - P null modes, filtered like noise
+    modes) and drives the exact diffusion covariance flow."""
+    cfg_m = TDVPConfig(solver_method="minsr")
+    st, t_m = make_problem(ctx1, dim=2, n=4096, cfg=cfg_m)
+    theta = st.get_parameters()
+    u_m, a_m = t_m.rhs(theta, 0.0, jax.random.PRNGKey(12))
+    assert not bool(a_m["nan"])
+    assert float(a_m["solver_res"]) < 1e-6
+    eps = 1e-4
+    st.set_parameters(theta + eps * u_m)
+    cov1 = model_covariance(st)
+    st.set_parameters(theta)
+    cov0 = model_covariance(st)
+    np.testing.assert_allclose((cov1 - cov0) / eps, 2 * np.eye(2), atol=0.3)
+
+
+def test_minsr_config_validation(ctx1):
+    with pytest.raises(ValueError):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(solver_method="minsr", chunk_size=512))
+    with pytest.raises(ValueError):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(solver_method="minsr",
+                                    solve_on_device=False))
+    with pytest.raises(ValueError, match="SExp"):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(solver_method="minsr",
+                                    compute_sexp=True))

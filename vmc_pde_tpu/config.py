@@ -48,7 +48,7 @@ class RunConfig:
     svd_tol: float = 1e-11
     diagonal_shift: float = 0.0
     solve_on_device: bool = True
-    solver_method: str = "auto"     # auto | eigh | cholesky | cg
+    solver_method: str = "auto"     # auto | eigh | cholesky | cg | minsr
     eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
     gram_precision: str = "high"    # highest | high | default (MXU passes)
     gram_backend: str = "auto"      # auto | xla | syrk (triangle kernel)

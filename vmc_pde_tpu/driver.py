@@ -65,11 +65,12 @@ def build_problem(cfg: RunConfig):
 
     equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
 
-    if cfg.stepper == "adaptive_heun" and cfg.solver_method == "cg":
+    if cfg.stepper == "adaptive_heun" and cfg.solver_method in ("cg",
+                                                                "minsr"):
         raise ValueError(
             "stepper='adaptive_heun' needs the SExp matrix for its S-metric "
-            "error norm; solver_method='cg' cannot provide it (use "
-            "'cholesky', 'eigh', or 'auto')"
+            f"error norm; solver_method={cfg.solver_method!r} cannot provide "
+            "it (use 'cholesky', 'eigh', or 'auto')"
         )
     tdvp_cfg = TDVPConfig(
         use_snr=cfg.use_snr,
@@ -342,7 +343,7 @@ def main(argv=None):
                    help="resume from the workdir's latest checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--solver", type=str, default=None,
-                   choices=["auto", "eigh", "cholesky", "cg"],
+                   choices=["auto", "eigh", "cholesky", "cg", "minsr"],
                    help="linear-solver strategy (TDVPConfig.solver_method)")
     p.add_argument("--gram-precision", type=str, default=None,
                    choices=["highest", "high", "default"],

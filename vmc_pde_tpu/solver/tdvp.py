@@ -71,8 +71,12 @@ class TDVPConfig:
     # MATRIX-FREE: Jacobi-preconditioned conjugate gradients on the same
     # Tikhonov system using only O-matvecs S v = Obar^T (Obar v)/N -- the
     # O(N P^2) Gram and the O(P^2) matrix never materialize (requires the
-    # direct stats path, chunk_size = 0). "auto" picks eigh up to
-    # ``eigh_max_params`` and cholesky beyond.
+    # direct stats path, chunk_size = 0). "minsr" solves in the N x N
+    # KERNEL space T = Obar Obar^T instead (eig(S) = eig(T)/N on the
+    # nonzero modes): the reference's per-mode regularizers apply verbatim
+    # and the full spectrum + SNR stay observable at O(N^2 P + N^3) -- the
+    # direct-solve scaling path for P >> N (see _solve_minsr). "auto"
+    # picks eigh up to ``eigh_max_params`` and cholesky beyond.
     solver_method: str = "auto"
     eigh_max_params: int = 2048
     cg_maxiter: int = 250
@@ -253,6 +257,57 @@ def _solve_cg(O_c, e_c, cfg: TDVPConfig, precision):
     return update, F, lam_max, sv
 
 
+def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt):
+    """Kernel-space (minSR) spectral solve for the P >> N regime: the
+    nonzero spectrum of S = Obar^T Obar / N coincides with eig(T)/N for the
+    N x N kernel T = Obar Obar^T, and the minimum-norm solution of S u = F
+    is u = Obar^T W diag(reg_i / mu_i) W^T e_c with T = W diag(mu) W^T.
+    (The kernel trick of Chen & Heyl's minSR and Rende et al.'s linear-alg
+    formulation, applied to the TDVP flow; no reference counterpart --
+    vmc_fluids/tdvp.py only ever forms the P x P Gram.)
+
+    The reference's per-mode regularizers (hard eig_cutoff + sixth-power
+    svd_tol sigmoid, optionally SNR, tdvp.py:82-91) apply verbatim to
+    ev = mu / N, so unlike the Cholesky large-P path the FULL nonzero
+    spectrum and per-mode SNR stay observable -- at O(N^2 P + N^3) instead
+    of O(N P^2 + P^3) cost and O(N^2) solver memory.
+
+    Per-mode SNR without any P x P matrix: the parameter-space eigenvector
+    is V_i = Obar^T W_i / sqrt(mu_i), so Obar V_i = sqrt(mu_i) W_i and
+    V_i^T A V_i = (mu_i / N) sum_n e_n^2 W_{n,i}^2 -- elementwise in the
+    kernel eigenbasis. Returns (update, ev, snr)."""
+    n = O_c.shape[0]
+    T = jnp.matmul(O_c, O_c.T, precision=precision).astype(sdt)
+    mu, W = jnp.linalg.eigh(0.5 * (T + T.T))
+    ev = mu / n
+    e_s = e_c.astype(sdt)
+    _HI = jax.lax.Precision.HIGHEST
+    Wte = jnp.matmul(W.T, e_s, precision=_HI)
+
+    ratio = jnp.abs(ev / ev[-1])
+    inv_mu = jnp.where(ratio > cfg.eig_cutoff, 1.0 / mu, 0.0)
+
+    def soft_cutoff(x, tol):
+        return jax.nn.sigmoid(6.0 * (jnp.log(x) - np.log(tol)))
+
+    regularizer = soft_cutoff(ratio, cfg.svd_tol)
+
+    VtF = jnp.sqrt(jnp.maximum(mu, 0.0)) * Wte / n
+    rho_var = jnp.maximum(
+        jnp.abs((mu / n) * jnp.matmul(e_s**2, W**2, precision=_HI)
+                - VtF**2),
+        jnp.finfo(VtF.dtype).tiny,
+    )
+    snr = jnp.sqrt(jnp.abs(n * VtF**2 / rho_var))
+    if cfg.use_snr:
+        regularizer = regularizer * soft_cutoff(snr, cfg.snr_tol)
+
+    alpha = jnp.matmul(W, inv_mu * regularizer * Wte, precision=_HI)
+    update = jnp.matmul(alpha.astype(O_c.dtype), O_c,
+                        precision=precision).astype(sdt)
+    return update, ev, snr
+
+
 def _ball_volume(dim: int, radius: float) -> float:
     return math.pi ** (dim / 2) / math.gamma(dim / 2 + 1) * radius**dim
 
@@ -314,13 +369,13 @@ class TDVP:
                 else "cholesky"
         else:
             method = cfg.solver_method
-        if method not in ("eigh", "cholesky", "cg"):
+        if method not in ("eigh", "cholesky", "cg", "minsr"):
             raise ValueError(f"unknown solver_method {method!r}")
-        if method == "cg" and cfg.chunk_size:
-            raise ValueError("solver_method='cg' is matrix-free over the "
+        if method in ("cg", "minsr") and cfg.chunk_size:
+            raise ValueError(f"solver_method={method!r} works on the "
                              "materialized O matrix; use chunk_size=0")
-        if method == "cg" and not cfg.solve_on_device:
-            raise ValueError("solver_method='cg' runs on device only")
+        if method in ("cg", "minsr") and not cfg.solve_on_device:
+            raise ValueError(f"solver_method={method!r} runs on device only")
         self.solver_method = method
         if method == "cg" and (cfg.compute_snr or cfg.use_snr
                                or cfg.compute_sexp):
@@ -338,6 +393,14 @@ class TDVP:
             cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False,
                                       compute_sexp=False)
             self.cfg = cfg
+        elif method == "minsr" and cfg.compute_sexp:
+            # the spectrum and per-mode SNR survive in the kernel basis,
+            # but the (P, P) SExp matrix would defeat the point of minSR
+            raise ValueError(
+                "solver_method='minsr' cannot provide the SExp matrix for "
+                "the adaptive stepper's S-metric; use 'cholesky' or 'eigh' "
+                "with adaptive_heun"
+            )
         elif method == "cholesky":
             # Per-mode SNR survives via the randomized top-k Ritz basis
             # (spectrum_topk); SNR *regularization* is spectral-only.
@@ -669,10 +732,13 @@ class TDVP:
         x = jax.lax.stop_gradient(x)
         x = self.ctx.constrain(x, self.ctx.samples_spec)
 
-        # Matrix-free path: no Gram matrix at all, just O-matvecs.
+        # Gram-free paths: the (P, P) matrix never materializes.
         if self.solver_method == "cg":
             return self._rhs_cg(theta_c, t, x, params, k_obs, k_int,
                                 z_obs_ext, n, n_obs)
+        if self.solver_method == "minsr":
+            return self._rhs_minsr(theta_c, t, x, params, k_obs, k_int,
+                                   z_obs_ext, n, n_obs)
 
         # STATS: Eloc, force, Gram (+SNR/SExp second moments).
         if cfg.chunk_size and cfg.chunk_size < n:
@@ -809,11 +875,21 @@ class TDVP:
             eloc_var=stats.variance(eloc), max_grad=jnp.max(eloc),
         )
 
+        aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
+                             z_obs_ext, n, n_obs)
+        aux["nan"] = jnp.any(jnp.isnan(update))
+        return aux
+
+    def _obs_tail(self, aux, x, logp, params, k_obs, k_int, z_obs_ext,
+                  n, n_obs):
+        """Shared observables block (tdvp.py:130-134: resample only when
+        n_obs > n)."""
+        cfg = self.cfg
         if cfg.observables:
             if n_obs > n:
                 if z_obs_ext is None:
                     z_o = self.flow.latent_sample(
-                        k_obs, params, n_obs, dtype=theta_c.dtype)
+                        k_obs, params, n_obs, dtype=x.dtype)
                 else:
                     z_o = z_obs_ext
                 z_o = self.ctx.constrain(z_o, self.ctx.samples_spec)
@@ -824,7 +900,44 @@ class TDVP:
             aux["_params"] = params
             aux = self._observables(x_o, logp_o, k_int, aux)
             del aux["_params"]
+        return aux
 
+    def _rhs_minsr(self, theta_c, t, x, params, k_obs, k_int, z_obs_ext,
+                   n, n_obs):
+        """Kernel-space RHS (solver_method='minsr'): per-sample batch ->
+        N x N kernel eigensolve -> minimum-norm update. The (P, P) Gram
+        never materializes -- the scaling path for P >> N with FULL
+        spectral observability (see _solve_minsr)."""
+        cfg = self.cfg
+        logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        O = self.ctx.constrain(O, self.ctx.osample_spec)
+        eloc_mean = stats.mean(eloc)
+        e_c = eloc - eloc_mean
+        O_c = O - stats.mean(O, axis=0)
+
+        mp = stats.PRECISIONS[cfg.gram_precision]
+        sdt = self.precision.solve
+        update, ev, snr = _solve_minsr(O_c, e_c, cfg, mp, sdt)
+
+        # residual/error against the unregularized S via O-matvecs, matching
+        # the other paths and the reference (tdvp.py:93-94)
+        u_c = update.astype(O_c.dtype)
+        s_u = jnp.matmul(
+            jnp.matmul(O_c, u_c, precision=mp), O_c, precision=mp
+        ).astype(sdt) / n
+        F0 = jnp.matmul(e_c, O_c, precision=mp).astype(sdt) / n
+        residual = jnp.linalg.norm(s_u - F0) / jnp.linalg.norm(F0)
+        eloc_sq_mean = stats.mean(eloc**2).astype(sdt)
+        tdvp_error = 1.0 + (update @ s_u - 2.0 * F0 @ update) / eloc_sq_mean
+
+        aux = dict(
+            update=update, solver_res=residual, tdvp_error=tdvp_error,
+            ev=ev, snr=snr, eloc_mean=eloc_mean,
+            eloc_abs_mean=stats.mean(jnp.abs(eloc)),
+            eloc_var=stats.variance(eloc), max_grad=jnp.max(eloc),
+        )
+        aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
+                             z_obs_ext, n, n_obs)
         aux["nan"] = jnp.any(jnp.isnan(update))
         return aux
 
