@@ -38,6 +38,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1,
                     help="sets BOTH the init seed and the sampling stream")
+    ap.add_argument("--latent", type=str, default="Gauss",
+                    choices=["Gauss", "Student_t"],
+                    help="Student_t reproduces the reference's "
+                         "dim8_StudentT_nu2 run (no closed-form entropy; "
+                         "compare the dumped curve against the shipped "
+                         "paper HDF5)")
     ap.add_argument("--samples", type=int, default=10000)
     ap.add_argument("--samples-obs", type=int, default=None,
                     help="observable budget (default = --samples); raising "
@@ -70,8 +76,8 @@ def main(argv=None):
     from vmc_pde_tpu.driver import run
 
     cfg = RunConfig(
-        name=f"d8gauss_seed{args.seed}",
-        dim=8, offset=(0.0,) * 8, latent_name="Gauss",
+        name=f"d8{args.latent.lower()}_seed{args.seed}",
+        dim=8, offset=(0.0,) * 8, latent_name=args.latent,
         equation="diffusion", variant="scale",
         dt0=args.dt0, max_step=1e-2, t_end=args.t_end,
         increase_fac=args.increase_fac,
@@ -95,7 +101,10 @@ def main(argv=None):
     infos = rec.as_arrays()
     t = np.asarray(infos["times"])
     S = np.asarray(infos["entropy"])
-    err = np.abs(S - analytic_entropy(8, t))
+    if args.latent == "Gauss":
+        err = np.abs(S - analytic_entropy(8, t))
+    else:
+        err = np.full_like(S, np.nan)  # no closed form for Student-t
     res = np.asarray(infos["solver_res"])
     out = {
         "seed": args.seed,
@@ -121,7 +130,11 @@ def main(argv=None):
         },
     }
     if args.dump_curve:
-        np.savez(args.dump_curve, times=t, entropy=S, err=err, res=res)
+        extra = {}
+        if "dist_params" in infos:
+            extra["dist_params"] = np.asarray(infos["dist_params"])
+        np.savez(args.dump_curve, times=t, entropy=S, err=err, res=res,
+                 **extra)
     line = json.dumps(out)
     print(line, flush=True)
     if args.json_out:
