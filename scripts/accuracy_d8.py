@@ -62,6 +62,10 @@ def main(argv=None):
                     help="dt ramp factor; the reference's 517-step dim-8 "
                          "runs imply ~2.0 (17 ramp steps + 500 cruise)")
     ap.add_argument("--dt0", type=float, default=1e-7)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this image's axon "
+                         "sitecustomize overrides JAX_PLATFORMS=cpu, so "
+                         "the config update must happen in-process)")
     ap.add_argument("--json-out", type=str, default=None)
     ap.add_argument("--dump-curve", type=str, default=None,
                     help="write times/entropy/err arrays to this .npz")
@@ -71,6 +75,11 @@ def main(argv=None):
                     help=">1: batch fixed-Heun steps into one device "
                          "dispatch (TDVP.heun_multi)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vmc_pde_tpu.config import RunConfig
     from vmc_pde_tpu.driver import run

@@ -1,0 +1,71 @@
+"""Micro-benchmark for the triangle-only (syrk) Pallas Gram kernel at the
+d=32 north-star shape: sweeps (tile, chunk) against the XLA HIGH matmul
+baseline. Device-only timing: K repetitions chained inside one jit around a
+single block_until_ready (see BENCHMARKS.md methodology).
+
+Usage: python scripts/bench_syrk.py [--n 16384] [--p 9264] [--reps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vmc_pde_tpu.kernels.syrk import syrk
+
+
+def device_time(fn, *args, reps=8):
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            # fold the result into the carry so nothing is DCE'd
+            s = fn(x + acc[0, 0] * 1e-30)
+            return acc + s[:1, :1]
+
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.float32))
+
+    loop(*args).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    loop(*args).block_until_ready()
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--p", type=int, default=9264)
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    key = jax.random.PRNGKey(0)
+    O = jax.random.normal(key, (args.n, args.p), dtype=jnp.float32)
+    O = O * jnp.exp(jnp.linspace(-3, 3, args.p))[None, :]  # scale spread
+
+    ref = jnp.matmul(O.T, O, precision=jax.lax.Precision.HIGHEST)
+
+    t_xla = device_time(
+        lambda x: jnp.matmul(x.T, x, precision=jax.lax.Precision.HIGH),
+        O, reps=args.reps)
+    print(f"xla HIGH full matmul: {t_xla*1e3:8.2f} ms")
+
+    for tile in (256, 512, 1024):
+        for chunk in (1024, 2048, 4096):
+            try:
+                t = device_time(
+                    lambda x, tl=tile, ck=chunk: syrk(x, tile=tl, chunk=ck),
+                    O, reps=args.reps)
+                S = syrk(O, tile=tile, chunk=chunk)
+                err = float(jnp.max(jnp.abs(S - ref))
+                            / jnp.max(jnp.abs(ref)))
+                print(f"syrk tile={tile:5d} chunk={chunk:5d}: "
+                      f"{t*1e3:8.2f} ms  maxrel {err:.2e}")
+            except Exception as e:  # noqa: BLE001 - report and continue sweep
+                print(f"syrk tile={tile:5d} chunk={chunk:5d}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -202,3 +202,30 @@ def test_driver_density_snapshots(tmp_path):
     import glob
     snaps = glob.glob(str(tmp_path / "t_*.pdf"))
     assert snaps, "no density snapshots written"
+
+
+def test_info_recorder_mixed_rows_and_blocks():
+    """Single-step rows and multi-step (K, ...) blocks interleave freely
+    (the driver mixes them when batches fall back at checkpoint/t_end
+    boundaries) and materialize in recording order."""
+    import jax.numpy as jnp
+
+    from vmc_pde_tpu.utils.infos import InfoRecorder
+
+    rec = InfoRecorder()
+    rec.append("e", 1.0)                                # step 0 (row)
+    rec.append_block("e", jnp.array([2.0, 3.0, 4.0]))   # steps 1-3 (block)
+    rec.append("e", 5.0)                                # step 4 (row)
+    rec.append("v", np.array([1.0, 2.0]))
+    rec.append_block("v", jnp.arange(6.0).reshape(3, 2))
+    arrs = rec.as_arrays()
+    np.testing.assert_allclose(arrs["e"], [1.0, 2.0, 3.0, 4.0, 5.0])
+    assert arrs["v"].shape == (4, 2)
+    np.testing.assert_allclose(arrs["v"][0], [1.0, 2.0])
+    np.testing.assert_allclose(arrs["v"][1:], np.arange(6.0).reshape(3, 2))
+    # append_dict_block applies the same skip rules as append_dict
+    rec2 = InfoRecorder()
+    rec2.append_dict_block({"keep": jnp.ones((2,)), "update": jnp.ones((2, 3)),
+                            "_private": jnp.ones((2,))})
+    arrs2 = rec2.as_arrays()
+    assert set(arrs2) == {"keep"}
