@@ -21,11 +21,13 @@ def device_time(fn, *args, reps=8):
     @jax.jit
     def loop(x):
         def body(i, acc):
-            # fold the result into the carry so nothing is DCE'd
-            s = fn(x + acc[0, 0] * 1e-30)
-            return acc + s[:1, :1]
+            # fold a MAX of the result into the carry: max cannot be
+            # algebraically pushed through the contraction the way a
+            # slice or sum can, so the full product must be formed
+            s = fn(x + acc * 1e-30)
+            return acc + jnp.max(s)
 
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.float32))
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.float32))
 
     loop(*args).block_until_ready()  # compile + warm
     t0 = time.perf_counter()
@@ -51,8 +53,10 @@ def main():
         O, reps=args.reps)
     print(f"xla HIGH full matmul: {t_xla*1e3:8.2f} ms")
 
-    for tile in (256, 512, 1024):
-        for chunk in (1024, 2048, 4096):
+    # each variant costs a fresh (slow) Mosaic compile through this image's
+    # remote tunnel -- keep the sweep tight around the current default
+    for tile, chunk in ((512, 1024), (512, 2048), (512, 4096), (1024, 2048)):
+        if True:
             try:
                 t = device_time(
                     lambda x, tl=tile, ck=chunk: syrk(x, tile=tl, chunk=ck),

@@ -443,7 +443,8 @@ class TDVP:
         self.ElocMean = None
         self.ElocVar = None
 
-        self._fused = jax.jit(self._rhs_impl, static_argnames=("n", "n_obs"))
+        self._fused = jax.jit(self._rhs_impl,
+                              static_argnames=("n", "n_obs", "with_obs"))
         # Fused stepper stages (exact-latent path): a whole Heun pair /
         # adaptive attempt in ONE jit with dt as a traced scalar -- one
         # dispatch + one host sync per step/attempt instead of 2/5
@@ -716,7 +717,13 @@ class TDVP:
     # ------------------------------------------------------------------
     # Fused right-hand side.
     # ------------------------------------------------------------------
-    def _rhs_impl(self, theta_c, t, key, z_ext, z_obs_ext, n: int, n_obs: int):
+    def _rhs_impl(self, theta_c, t, key, z_ext, z_obs_ext, n: int, n_obs: int,
+                  with_obs: bool = True):
+        """``with_obs=False`` skips the observables block: only the FIRST
+        integrator stage's observables are ever recorded (Q10 pairing), so
+        predictor/half-step stages skip the n_obs-sample entropy/moment
+        pass entirely -- one wasted obs pass per fixed-Heun step and four
+        per adaptive attempt otherwise."""
         cfg = self.cfg
         params = self._unravel(theta_c)
         k_sample, k_obs, k_int, k_spec = jax.random.split(key, 4)
@@ -735,10 +742,10 @@ class TDVP:
         # Gram-free paths: the (P, P) matrix never materializes.
         if self.solver_method == "cg":
             return self._rhs_cg(theta_c, t, x, params, k_obs, k_int,
-                                z_obs_ext, n, n_obs)
+                                z_obs_ext, n, n_obs, with_obs)
         if self.solver_method == "minsr":
             return self._rhs_minsr(theta_c, t, x, params, k_obs, k_int,
-                                   z_obs_ext, n, n_obs)
+                                   z_obs_ext, n, n_obs, with_obs)
 
         # STATS: Eloc, force, Gram (+SNR/SExp second moments).
         if cfg.chunk_size and cfg.chunk_size < n:
@@ -819,7 +826,7 @@ class TDVP:
 
         # OBSERVABLES on the (possibly larger) observable budget
         # (tdvp.py:130-134: resample only when n_obs > n).
-        if cfg.observables:
+        if cfg.observables and with_obs:
             if n_obs > n:
                 if z_obs_ext is None:
                     z_o = self.flow.latent_sample(
@@ -843,7 +850,7 @@ class TDVP:
         return aux
 
     def _rhs_cg(self, theta_c, t, x, params, k_obs, k_int, z_obs_ext,
-                n, n_obs):
+                n, n_obs, with_obs: bool = True):
         """Matrix-free RHS: per-sample batch -> Jacobi-preconditioned CG on
         the Tikhonov normal equations, never forming S. O(N P) memory and
         O(iters * N P) flops instead of O(N P^2) -- the scaling path for
@@ -876,16 +883,16 @@ class TDVP:
         )
 
         aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
-                             z_obs_ext, n, n_obs)
+                             z_obs_ext, n, n_obs, with_obs)
         aux["nan"] = jnp.any(jnp.isnan(update))
         return aux
 
     def _obs_tail(self, aux, x, logp, params, k_obs, k_int, z_obs_ext,
-                  n, n_obs):
+                  n, n_obs, with_obs: bool = True):
         """Shared observables block (tdvp.py:130-134: resample only when
         n_obs > n)."""
         cfg = self.cfg
-        if cfg.observables:
+        if cfg.observables and with_obs:
             if n_obs > n:
                 if z_obs_ext is None:
                     z_o = self.flow.latent_sample(
@@ -903,7 +910,7 @@ class TDVP:
         return aux
 
     def _rhs_minsr(self, theta_c, t, x, params, k_obs, k_int, z_obs_ext,
-                   n, n_obs):
+                   n, n_obs, with_obs: bool = True):
         """Kernel-space RHS (solver_method='minsr'): per-sample batch ->
         N x N kernel eigensolve -> minimum-norm update. The (P, P) Gram
         never materializes -- the scaling path for P >> N with FULL
@@ -937,7 +944,7 @@ class TDVP:
             eloc_var=stats.variance(eloc), max_grad=jnp.max(eloc),
         )
         aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
-                             z_obs_ext, n, n_obs)
+                             z_obs_ext, n, n_obs, with_obs)
         aux["nan"] = jnp.any(jnp.isnan(update))
         return aux
 
@@ -949,6 +956,11 @@ class TDVP:
         key = jax.random.fold_in(key, intStep)
         theta_c = jnp.asarray(theta, dtype=self.precision.compute)
 
+        # Only the FIRST stage of each integrator step records observables
+        # (Q10 pairing): fixed steppers call with intStep 0/1, the adaptive
+        # one with 5 * attempt + stage -- stage 0 <=> intStep % 5 == 0.
+        with_obs = intStep % 5 == 0
+
         z_ext = z_obs_ext = None
         if not self.sampler.exact:
             params = self._unravel(theta_c)
@@ -956,14 +968,14 @@ class TDVP:
             z_ext, _ = self.sampler.sample(
                 k_s, self.flow, params, self.n_samples
             )
-            if self.n_samples_obs > self.n_samples:
+            if with_obs and self.n_samples_obs > self.n_samples:
                 z_obs_ext, _ = self.sampler.sample(
                     k_o, self.flow, params, self.n_samples_obs
                 )
 
         aux = self._fused(
             theta_c, t, key, z_ext, z_obs_ext,
-            n=self.n_samples, n_obs=self.n_samples_obs,
+            n=self.n_samples, n_obs=self.n_samples_obs, with_obs=with_obs,
         )
 
         if not self.cfg.solve_on_device:
@@ -992,11 +1004,11 @@ class TDVP:
     # returned INCREMENT dy is added to the master-f64 parameters on host,
     # so integration accuracy is unchanged (steppers.py contract).
     # ------------------------------------------------------------------
-    def _stage(self, th, t, key, i, n, n_obs):
+    def _stage(self, th, t, key, i, n, n_obs, with_obs=True):
         # fold_in(key, intStep) matches rhs()'s per-call key derivation
         # exactly, so fused and per-call integration are RNG-identical
         aux = self._rhs_impl(th, t, jax.random.fold_in(key, i),
-                             None, None, n, n_obs)
+                             None, None, n, n_obs, with_obs)
         return aux["update"].astype(th.dtype), aux
 
     def _heun_pair_impl(self, theta_c, t, dt, key, n: int, n_obs: int):
@@ -1007,7 +1019,10 @@ class TDVP:
         convention (fixed quirk Q10; see FixedStepper.step).  The NaN flag is
         OR-ed across both stages."""
         k0, aux = self._stage(theta_c, t, key, 0, n, n_obs)
-        k1, aux1 = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs)
+        # the predictor stage's observables are never recorded (Q10):
+        # skip its n_obs entropy/moment pass entirely
+        k1, aux1 = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs,
+                               with_obs=False)
         aux = dict(aux)
         aux["nan"] = aux["nan"] | aux1["nan"]
         return 0.5 * dt * (k0 + k1), aux
@@ -1020,16 +1035,22 @@ class TDVP:
         the per-call intStep base. Returns (dy1, err, aux)."""
         k0, aux0 = self._stage(theta_c, t, key, off + 0, n, n_obs)
         y1 = theta_c + dt * k0
-        k1, _ = self._stage(y1, t + dt, key, off + 1, n, n_obs)
+        # only the first stage's observables are recorded (Q10): the four
+        # predictor/half-step stages skip their n_obs passes
+        k1, _ = self._stage(y1, t + dt, key, off + 1, n, n_obs,
+                            with_obs=False)
         dy0 = 0.5 * dt * (k0 + k1)
 
         yh = theta_c + 0.5 * dt * k0
-        k10, _ = self._stage(yh, t + 0.5 * dt, key, off + 2, n, n_obs)
+        k10, _ = self._stage(yh, t + 0.5 * dt, key, off + 2, n, n_obs,
+                             with_obs=False)
         dy1 = 0.25 * dt * (k0 + k10)
         y2 = theta_c + dy1
-        k01, _ = self._stage(y2, t + 0.5 * dt, key, off + 3, n, n_obs)
+        k01, _ = self._stage(y2, t + 0.5 * dt, key, off + 3, n, n_obs,
+                             with_obs=False)
         y3 = y2 + 0.5 * dt * k01
-        k11, aux_last = self._stage(y3, t + dt, key, off + 4, n, n_obs)
+        k11, aux_last = self._stage(y3, t + dt, key, off + 4, n, n_obs,
+                                    with_obs=False)
         dy1 = dy1 + 0.25 * dt * (k01 + k11)
 
         # Per-call parity: the recorded info is the FIRST stage's (the state
