@@ -484,3 +484,23 @@ def test_minsr_config_validation(ctx1):
         make_problem(ctx1, dim=2, n=1024,
                      cfg=TDVPConfig(solver_method="minsr",
                                     compute_sexp=True))
+
+
+def test_minsr_sharded_matches_single_device(ctx8, ctx1):
+    """minSR under the 8-way dp mesh: the O (N, P) matrix is sample-sharded,
+    the N x N kernel T = O O^T contracts the UNSHARDED param axis (XLA
+    inserts the collectives), and the result must equal the single-device
+    solve on the same exact-latent sample stream."""
+    cfg = TDVPConfig(solver_method="minsr")
+    st1, t1 = make_problem(ctx1, dim=2, n=2048, cfg=cfg)
+    st8, t8 = make_problem(ctx8, dim=2, n=2048, cfg=cfg)
+    theta = st1.get_parameters()
+    key = jax.random.PRNGKey(17)
+    u1, a1 = t1.rhs(theta, 0.0, key)
+    u8, a8 = t8.rhs(theta, 0.0, key)
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(u1),
+                               rtol=1e-7, atol=1e-10)
+    # both residuals sit at the f64 noise floor; same order is the contract
+    assert float(a8["solver_res"]) < 1e-12 and float(a1["solver_res"]) < 1e-12
+    np.testing.assert_allclose(np.asarray(a8["ev"])[-8:],
+                               np.asarray(a1["ev"])[-8:], rtol=1e-9)
