@@ -1,7 +1,18 @@
 """Micro-benchmark for the triangle-only (syrk) Pallas Gram kernel at the
 d=32 north-star shape: sweeps (tile, chunk) against the XLA HIGH matmul
-baseline. Device-only timing: K repetitions chained inside one jit around a
-single block_until_ready (see BENCHMARKS.md methodology).
+baseline.
+
+FINDINGS (2026-08-17, results/bench_syrk2.txt): the sweep is closed.
+- (tile=512, chunk=1024) -- the shipped default -- is the ONLY compiling
+  point in the neighborhood: chunk 2048/4096 and tile 1024 overflow VMEM
+  (4 bf16 operand blocks x double buffering + the f32 accumulator tile;
+  remote tpu_compile_helper exits 1). The correctness check still passes
+  (maxrel 4.8e-6 vs a HIGHEST reference).
+- Wall timings from THIS harness are invalid on this machine: the remote
+  TPU tunnel memoizes repeat executions of an identical (program, input)
+  pair, returning in ~0 ms. The authoritative kernel timing is the
+  in-RHS measurement (BENCHMARKS.md: 38 ms syrk vs ~50 ms XLA HIGH inside
+  the fused TDVP step, where inputs change every call).
 
 Usage: python scripts/bench_syrk.py [--n 16384] [--p 9264] [--reps 8]
 """

@@ -106,3 +106,34 @@ def test_metropolis_f32_states_under_x64(ctx1):
         8, {"offset": off, "bound": 0.25})
     assert final.dtype == jnp.float32
     assert samples.shape == (8 * 16, 2)
+
+
+def test_random_walk_proposal_samples_unbounded_target(ctx1):
+    """proposal_mode='rw' (beyond the reference): Gaussian random-walk MH
+    against an UNBOUNDED standard-normal latent -- where the uniform-ball
+    independence proposal cannot cover the support -- must reproduce the
+    target's moments, and the between-call adaptation must drive the
+    acceptance rate toward the 0.234 target."""
+    s = Sampler(
+        dim=3, ctx=ctx1, name="custom_normal", n_chains=64,
+        latent_log_prob=lambda x: -0.5 * jnp.sum(x**2),
+        proposal_mode="rw", rw_scale=5.0,  # deliberately mis-tuned
+        burn_in=50, dtype=jnp.float64,
+    )
+    rates = []
+    for i in range(6):
+        z, n = s.sample(jax.random.PRNGKey(i), flow=None, params=None,
+                        n=12800)
+        rates.append(s.last_info.acceptance_rate)
+    # adaptation moved the scale down from 5.0 and the rate toward target
+    assert s.rw_scale < 5.0
+    assert 0.1 < rates[-1] < 0.45, rates
+    z = np.asarray(z)
+    np.testing.assert_allclose(z.mean(axis=0), np.zeros(3), atol=0.08)
+    np.testing.assert_allclose(np.cov(z.T, ddof=0), np.eye(3), atol=0.12)
+
+
+def test_rw_pallas_conflict_rejected(ctx1):
+    with pytest.raises(ValueError, match="independence"):
+        Sampler(dim=2, ctx=ctx1, name="cos_dist", n_chains=128,
+                proposal_mode="rw", use_pallas=True)

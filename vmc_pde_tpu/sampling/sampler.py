@@ -72,24 +72,34 @@ def metropolis_chain(
     proposer: Callable,
     n_steps: int,
     mcmc_info,
+    rw_scale=None,
 ):
-    """Run all chains for n_steps Metropolis updates with independence
-    proposals; returns samples of shape (n_steps * n_chains, dim), the final
-    states, and acceptance counts.
+    """Run all chains for n_steps Metropolis updates; returns samples of
+    shape (n_steps * n_chains, dim), the final states, and acceptance counts.
 
-    Because the proposal is uniform on its support, the MH ratio reduces to
-    p(new)/p(old) (sampler.py:95). lax.scan keeps the whole loop on-device.
+    ``rw_scale=None`` (the reference mode): INDEPENDENCE proposals from
+    ``proposer`` -- uniform on a ball covering the target's support, so the
+    MH ratio reduces to p(new)/p(old) (sampler.py:95). ``rw_scale``: Gaussian
+    RANDOM-WALK proposals x' = x + rw_scale * N(0, I) -- symmetric, so the
+    ratio is the same p(new)/p(old); use for latents with unbounded support
+    where no covering ball exists (beyond the reference). lax.scan keeps the
+    whole loop on-device.
     """
     n_chains, dim = init_states.shape
 
     def step(carry, _):
         states, key, n_acc = carry
         key, k_prop, k_acc = jax.random.split(key, 3)
-        # proposers draw in the default dtype; pin to the chain dtype so the
-        # scan carry stays type-stable (f32 chains under global x64)
-        proposals = proposer(k_prop, n_chains, dim, mcmc_info).astype(
-            states.dtype
-        )
+        if rw_scale is None:
+            # proposers draw in the default dtype; pin to the chain dtype so
+            # the scan carry stays type-stable (f32 chains under global x64)
+            proposals = proposer(k_prop, n_chains, dim, mcmc_info).astype(
+                states.dtype
+            )
+        else:
+            proposals = states + jnp.asarray(
+                rw_scale, states.dtype
+            ) * jax.random.normal(k_prop, states.shape, dtype=states.dtype)
         log_ratio = jax.vmap(log_prob)(proposals) - jax.vmap(log_prob)(states)
         accept = jax.random.uniform(k_acc, (n_chains,)) < jnp.exp(log_ratio)
         new_states = jnp.where(accept[:, None], proposals, states)
@@ -126,6 +136,16 @@ class Sampler:
     # available (built-in for "cos_dist") and n_chains % 128 == 0.
     use_pallas: Optional[bool] = None
     kernel_log_prob: Optional[Callable] = None  # lane-major (dim, C) target
+    # Gaussian random-walk proposal mode (beyond the reference, whose
+    # uniform-ball independence proposal requires a compact covering
+    # support): "rw" proposes x' = x + scale * N(0, I). ``rw_adapt`` tunes
+    # the scale between sample() calls toward the d-dimensional optimal
+    # acceptance 0.234 (Robbins-Monro on log scale); the chain itself stays
+    # a valid MH kernel at fixed scale within each call.
+    proposal_mode: str = "independence"   # "independence" | "rw"
+    rw_scale: float = 0.5
+    rw_adapt: bool = True
+    rw_target_accept: float = 0.234
 
     def __post_init__(self):
         self.exact = self.name in latent_mod.EXACT_NAMES
@@ -142,6 +162,8 @@ class Sampler:
                 self.name == "cos_dist":
             from ..kernels.metropolis import cos_bump_log_prob
             self.kernel_log_prob = cos_bump_log_prob
+        if self.proposal_mode not in ("independence", "rw"):
+            raise ValueError(f"unknown proposal_mode {self.proposal_mode!r}")
         if self.use_pallas is None:
             on_tpu = jax.default_backend() == "tpu"
             self.use_pallas = (
@@ -149,7 +171,11 @@ class Sampler:
                 and on_tpu
                 and self.kernel_log_prob is not None
                 and self.n_chains % 128 == 0
+                and self.proposal_mode == "independence"
             )
+        elif self.use_pallas and self.proposal_mode != "independence":
+            raise ValueError("the Pallas Metropolis kernel implements the "
+                             "independence proposal only")
         self._states = None
         self._mcmc_jit = None
         self.last_info: Optional[MCSampleInfo] = None
@@ -193,14 +219,24 @@ class Sampler:
                 ),
                 static_argnames=("n_steps",),
             )
+        # traced scalar (adaptation must not recompile); None = independence
+        rw = jnp.asarray(self.rw_scale, self.dtype) \
+            if self.proposal_mode == "rw" else None
         samples, self._states, n_acc = self._mcmc_jit(
-            k_run, self._states, n_steps=n_steps
+            k_run, self._states, n_steps=n_steps, rw_scale=rw
         )
         if self.burn_in:
             samples = samples[self.burn_in * self.n_chains:]
         self.last_info = MCSampleInfo(
             num_proposed=n_steps * self.n_chains, num_accepted=int(n_acc)
         )
+        if rw is not None and self.rw_adapt:
+            # between-call log-scale update toward the target acceptance;
+            # clipped so one noisy call cannot blow the scale up/down
+            err = self.last_info.acceptance_rate - self.rw_target_accept
+            self.rw_scale = float(
+                self.rw_scale * np.exp(np.clip(2.0 * err, -0.5, 0.5))
+            )
         return samples
 
     def _sample_mcmc_pallas(self, key, n_total: int, n_steps: int):
