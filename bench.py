@@ -146,13 +146,8 @@ def bench_reference_style(state, tdvp, iters):
     push_j = jax.jit(jax.vmap(flow.push, in_axes=(None, 0)))
     grads_j = jax.jit(jax.vmap(
         partial(score.value_score_and_param_grad, f), in_axes=(None, 0)))
-    hess_j = None
-    if idx is not None:
-        hess_j = jax.jit(jax.vmap(
-            partial(score.hessian_block, f, idx=idx), in_axes=(None, 0)))
-    else:
-        hess_j = jax.jit(jax.vmap(
-            partial(score.hessian_block, f, idx=None), in_axes=(None, 0)))
+    hess_j = jax.jit(jax.vmap(
+        partial(score.hessian_block, f, idx=idx), in_axes=(None, 0)))
     eo_j = jax.jit(lambda e, o: (e - e.mean())[:, None] * (o - o.mean(0)))
     cov_j = jax.jit(lambda d: d.T @ d)
     mean_j = jax.jit(lambda d: d.mean(0))

@@ -67,19 +67,18 @@ def main():
     # each variant costs a fresh (slow) Mosaic compile through this image's
     # remote tunnel -- keep the sweep tight around the current default
     for tile, chunk in ((512, 1024), (512, 2048), (512, 4096), (1024, 2048)):
-        if True:
-            try:
-                t = device_time(
-                    lambda x, tl=tile, ck=chunk: syrk(x, tile=tl, chunk=ck),
-                    O, reps=args.reps)
-                S = syrk(O, tile=tile, chunk=chunk)
-                err = float(jnp.max(jnp.abs(S - ref))
-                            / jnp.max(jnp.abs(ref)))
-                print(f"syrk tile={tile:5d} chunk={chunk:5d}: "
-                      f"{t*1e3:8.2f} ms  maxrel {err:.2e}")
-            except Exception as e:  # noqa: BLE001 - report and continue sweep
-                print(f"syrk tile={tile:5d} chunk={chunk:5d}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:120]}")
+        try:
+            t = device_time(
+                lambda x, tl=tile, ck=chunk: syrk(x, tile=tl, chunk=ck),
+                O, reps=args.reps)
+            S = syrk(O, tile=tile, chunk=chunk)
+            err = float(jnp.max(jnp.abs(S - ref))
+                        / jnp.max(jnp.abs(ref)))
+            print(f"syrk tile={tile:5d} chunk={chunk:5d}: "
+                  f"{t*1e3:8.2f} ms  maxrel {err:.2e}")
+        except Exception as e:  # noqa: BLE001 - report and continue sweep
+            print(f"syrk tile={tile:5d} chunk={chunk:5d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

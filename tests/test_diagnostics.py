@@ -229,3 +229,29 @@ def test_info_recorder_mixed_rows_and_blocks():
                             "_private": jnp.ones((2,))})
     arrs2 = rec2.as_arrays()
     assert set(arrs2) == {"keep"}
+
+
+def test_plot_data_diff_asymmetric_density():
+    """The histogram must be transposed to the meshgrid's [y, x] layout
+    before differencing: for an x/y-ASYMMETRIC density sampled from itself,
+    the integrated |diff| must still be small (the reference subtracts
+    untransposed -- visualization.py:80-109 -- which mirrors the histogram
+    and reports a large spurious error here)."""
+    from vmc_pde_tpu.utils.grid import Grid
+    from vmc_pde_tpu.viz.plots import plot_data_diff
+
+    rng = np.random.default_rng(0)
+    # anisotropic, offset Gaussian: p = N([1.5, -0.5], diag(0.25, 4.0))
+    data = rng.normal([1.5, -0.5], [0.5, 2.0], size=(120000, 2))
+
+    def fun(c):
+        return (np.exp(-0.5 * ((c[0] - 1.5) / 0.5) ** 2
+                       - 0.5 * ((c[1] + 0.5) / 2.0) ** 2)
+                / (2 * np.pi * 0.5 * 2.0))
+
+    g = Grid(np.ones(2) * 7.0, 40)
+    fig, l1 = plot_data_diff(None, g, data, fun=fun)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    assert l1 < 0.1, l1

@@ -504,3 +504,38 @@ def test_minsr_sharded_matches_single_device(ctx8, ctx1):
     assert float(a8["solver_res"]) < 1e-12 and float(a1["solver_res"]) < 1e-12
     np.testing.assert_allclose(np.asarray(a8["ev"])[-8:],
                                np.asarray(a1["ev"])[-8:], rtol=1e-9)
+
+
+def test_minsr_rejects_diagonal_shift(ctx1):
+    with pytest.raises(ValueError, match="diagonal_shift"):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(solver_method="minsr",
+                                    diagonal_shift=0.01))
+
+
+def test_forced_syrk_rejects_non_f32_high(ctx1):
+    """gram_backend='syrk' implements exactly the f32/HIGH 3-pass split;
+    forcing it under f64 compute or gram_precision='highest' must raise
+    instead of silently degrading statistics."""
+    with pytest.raises(ValueError, match="syrk"):
+        make_problem(ctx1, dim=2, n=512,
+                     cfg=TDVPConfig(gram_backend="syrk"))  # prec f64 default
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    with pytest.raises(ValueError, match="syrk"):
+        make_problem(ctx1, dim=2, n=512, prec=resolve("tpu"),
+                     cfg=TDVPConfig(gram_backend="syrk",
+                                    gram_precision="highest"))
+
+
+def test_adaptive_attempt_nan_flag_covers_all_stages(ctx1):
+    """A NaN born in a LATER stage of an adaptive attempt must surface in
+    the recorded (first-stage) info's nan flag -- otherwise a final-step
+    divergence is never detected (driver aborts via this flag only)."""
+    cfg = TDVPConfig(compute_sexp=True)
+    st, tdvp = make_problem(ctx1, dim=2, n=512, cfg=cfg)
+    theta = jnp.asarray(st.get_parameters())
+    # huge dt drives the predictor stages to NaN while stage 0 stays clean
+    dy1, err, aux = tdvp.heun_attempt(theta, 0.0, 1e12,
+                                      jax.random.PRNGKey(3))
+    assert bool(aux["nan"]) or np.isfinite(float(err))

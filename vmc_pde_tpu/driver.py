@@ -238,7 +238,10 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                 with timings.section("step"):
                     theta, auxs = tdvp.heun_multi(theta, ts_l, dts_l,
                                                   jnp.stack(step_keys))
-                state.set_parameters(theta)
+                # state sync deferred to loop exit: set_parameters unravels
+                # the flat vector into ~dozens of leaf slices, each a device
+                # op -- per-batch that re-creates the dispatch overhead this
+                # path amortizes (dist_params comes from the stacked aux)
                 pending_nan.append((auxs["nan"].any(), t))
                 rec.append_block("times", np.asarray(ts_l))
                 rec.append_dict_block({k: v for k, v in auxs.items()
@@ -320,6 +323,7 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
 
     if profiling:
         jax.profiler.stop_trace()
+    state.set_parameters(theta)  # sync after batched steps (no-op otherwise)
     check_nan()
     rec.flush()
     if wdir and is_coordinator():

@@ -115,20 +115,29 @@ class AdaptiveHeun:
             else:
                 k0, info = f(y0, t, key, intStep=5 * attempt + 0)
                 y1 = y0 + dt * k0
-                k1, _ = f(y1, t + dt, key, intStep=5 * attempt + 1)
+                k1, i1 = f(y1, t + dt, key, intStep=5 * attempt + 1)
                 dy0 = 0.5 * dt * (k0 + k1)
 
                 # two half steps
                 yh = y0 + 0.5 * dt * k0
-                k10, _ = f(yh, t + 0.5 * dt, key, intStep=5 * attempt + 2)
+                k10, i2 = f(yh, t + 0.5 * dt, key, intStep=5 * attempt + 2)
                 dy1 = 0.25 * dt * (k0 + k10)
                 y2 = y0 + dy1
-                k01, _ = f(y2, t + 0.5 * dt, key, intStep=5 * attempt + 3)
+                k01, i3 = f(y2, t + 0.5 * dt, key, intStep=5 * attempt + 3)
                 y3 = y2 + 0.5 * dt * k01
-                k11, _ = f(y3, t + dt, key, intStep=5 * attempt + 4)
+                k11, i4 = f(y3, t + dt, key, intStep=5 * attempt + 4)
                 dy1 = dy1 + 0.25 * dt * (k01 + k11)
                 err = float(normFunction(dy1 - dy0,
                                          getattr(f, "SExp", None)))
+                # fold every stage's NaN flag into the recorded info (the
+                # driver's abort check reads only this step's info; a NaN
+                # born in a later stage of the FINAL step would otherwise
+                # never surface -- same contract as FixedStepper/Q10)
+                if "nan" in info:
+                    info = dict(info)
+                    for i_s in (i1, i2, i3, i4):
+                        if "nan" in i_s:
+                            info["nan"] = info["nan"] | i_s["nan"]
 
             # err == 0 (fully-regularized / stationary update) accepts the
             # step and grows dt, matching the reference's inf from jnp

@@ -401,6 +401,14 @@ class TDVP:
                 "the adaptive stepper's S-metric; use 'cholesky' or 'eigh' "
                 "with adaptive_heun"
             )
+        if method == "minsr" and cfg.diagonal_shift > 1e-10:
+            # shift * diag(S) is a parameter-space regularizer with no
+            # kernel-space representation; refusing beats silently
+            # producing different dynamics than every other solver_method
+            raise ValueError(
+                "solver_method='minsr' does not support diagonal_shift "
+                "(no N x N kernel-space representation of shift * diag(S))"
+            )
         elif method == "cholesky":
             # Per-mode SNR survives via the randomized top-k Ritz basis
             # (spectrum_topk); SNR *regularization* is spectral-only.
@@ -429,6 +437,18 @@ class TDVP:
             )
         else:
             self._use_syrk = cfg.gram_backend == "syrk"
+            if self._use_syrk and (
+                    self.precision.compute != jnp.float32
+                    or cfg.gram_precision != "high"):
+                # the kernel casts operands to f32 and implements exactly
+                # the 3-pass (HIGH) split; forcing it under an f64 compute
+                # policy or gram_precision='highest' would silently degrade
+                # the statistics below what the config promises
+                raise ValueError(
+                    "gram_backend='syrk' implements f32 statistics at "
+                    "gram_precision='high' numerics; use gram_backend="
+                    "'auto'/'xla' with this precision configuration"
+                )
 
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
@@ -1037,17 +1057,17 @@ class TDVP:
         y1 = theta_c + dt * k0
         # only the first stage's observables are recorded (Q10): the four
         # predictor/half-step stages skip their n_obs passes
-        k1, _ = self._stage(y1, t + dt, key, off + 1, n, n_obs,
-                            with_obs=False)
+        k1, a1 = self._stage(y1, t + dt, key, off + 1, n, n_obs,
+                             with_obs=False)
         dy0 = 0.5 * dt * (k0 + k1)
 
         yh = theta_c + 0.5 * dt * k0
-        k10, _ = self._stage(yh, t + 0.5 * dt, key, off + 2, n, n_obs,
-                             with_obs=False)
+        k10, a2 = self._stage(yh, t + 0.5 * dt, key, off + 2, n, n_obs,
+                              with_obs=False)
         dy1 = 0.25 * dt * (k0 + k10)
         y2 = theta_c + dy1
-        k01, _ = self._stage(y2, t + 0.5 * dt, key, off + 3, n, n_obs,
-                             with_obs=False)
+        k01, a3 = self._stage(y2, t + 0.5 * dt, key, off + 3, n, n_obs,
+                              with_obs=False)
         y3 = y2 + 0.5 * dt * k01
         k11, aux_last = self._stage(y3, t + dt, key, off + 4, n, n_obs,
                                     with_obs=False)
@@ -1056,7 +1076,11 @@ class TDVP:
         # Per-call parity: the recorded info is the FIRST stage's (the state
         # at t -- AdaptiveHeun's `k0, info = f(y0, t, ...)`), while the
         # S-metric uses the LAST stage's SExp (the reference reads f.SExp
-        # after all calls, stepper.py:71).
+        # after all calls, stepper.py:71). NaN flags from ALL stages are
+        # OR-ed in so a final-step late-stage NaN still aborts the run.
+        aux0 = dict(aux0)
+        aux0["nan"] = (aux0["nan"] | a1["nan"] | a2["nan"] | a3["nan"]
+                       | aux_last["nan"])
         diff = dy1 - dy0
         sexp = aux_last.get("SExp")
         if sexp is not None:
@@ -1110,8 +1134,13 @@ class TDVP:
             theta_m, ts, dts, keys,
             n=self.n_samples, n_obs=self.n_samples_obs,
         )
-        last = {k: v[-1] for k, v in auxs.items()}
-        self._finish_fused(jnp.zeros(()), last)
+        # deliberately NOT updating the per-call diagnostic attributes
+        # (ev/snr/solverResidual/...): slicing the last row of ~15 stacked
+        # arrays enqueues that many device ops per batch, which on
+        # high-dispatch-latency hosts re-creates the per-step overhead this
+        # path exists to amortize. The driver's batched branch reads the
+        # stacked aux directly; the attribute contract applies to rhs()/
+        # heun_pair/heun_attempt (the per-step paths).
         return theta_f, auxs
 
     def _finish_fused(self, dy, aux):

@@ -108,8 +108,13 @@ def plot_data_diff(state, grid, data, fun=None):
         density=True,
     )
     # density=True normalizes over in-range samples only; rescale to the
-    # model's in-range mass so the two surfaces are comparable
-    hist = hist * probs.sum() / max(hist.sum(), 1e-300)
+    # model's in-range mass so the two surfaces are comparable.
+    # histogram2d returns H indexed [x, y] while the meshgrid-flattened
+    # probs are [y, x]: transpose before differencing (the reference
+    # subtracts untransposed, visualization.py:80-109 -- a mirrored diff
+    # for any x/y-asymmetric density; fixed here since the integrated
+    # |diff| is returned as a quantitative metric)
+    hist = hist.T * probs.sum() / max(hist.sum(), 1e-300)
     diff = probs - hist
 
     fig = plt.figure()
@@ -131,7 +136,10 @@ def plot_data(data, grid, title="Data"):
     )
     fig = plt.figure()
     ax = plt.axes(projection="3d")
-    ax.plot_surface(grid.meshgrid[0], grid.meshgrid[1], hist, cmap="coolwarm")
+    # H is indexed [x, y]; the 'xy' meshgrid wants [y, x] (see
+    # plot_data_diff -- the reference plots untransposed)
+    ax.plot_surface(grid.meshgrid[0], grid.meshgrid[1], hist.T,
+                    cmap="coolwarm")
     ax.set_title(title)
     return fig
 
