@@ -74,6 +74,11 @@ def main(argv=None):
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help=">1: batch fixed-Heun steps into one device "
                          "dispatch (TDVP.heun_multi)")
+    ap.add_argument("--twice", action="store_true",
+                    help="run the evolution twice in one process and report "
+                         "both walls: the second is the compile-free steady "
+                         "state (the scan program's remote compile does not "
+                         "persist in the cache on this image)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -107,6 +112,11 @@ def main(argv=None):
     t_wall = -time.perf_counter()
     state, rec = run(cfg)
     t_wall += time.perf_counter()
+    t_wall2 = None
+    if args.twice:
+        t_wall2 = -time.perf_counter()
+        state, rec = run(cfg)
+        t_wall2 += time.perf_counter()
     infos = rec.as_arrays()
     t = np.asarray(infos["times"])
     S = np.asarray(infos["entropy"])
@@ -125,6 +135,7 @@ def main(argv=None):
         "t_at_max_err": round(float(t[np.argmax(err)]), 4),
         "residual_median": float(np.median(res)),
         "wall_s": round(t_wall, 1),
+        "wall_s_warm": None if t_wall2 is None else round(t_wall2, 1),
         "steps_per_dispatch": args.steps_per_dispatch,
         "config": {
             "precision": args.precision,
