@@ -253,3 +253,41 @@ def test_pretrain_checkpoint_resume(tmp_path, ctx1):
     fa, _ = jax.flatten_util.ravel_pytree(s_full.params)
     fb, _ = jax.flatten_util.ravel_pytree(s_b.params)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fa), rtol=1e-10)
+
+
+def test_radial_grid_oracle_gaussian_entropy():
+    """The deterministic radial finite-volume diffusion oracle
+    (oracle/radial.py -- the grid-based validation mode of
+    paper_plot_diffusion.py:13-29, whose solver the reference does not
+    ship) must track the analytic Gaussian entropy d/2 log(2 pi e (1+2t))
+    and conserve mass on a shell-conservative scheme."""
+    import math
+    from functools import partial
+
+    from vmc_pde_tpu.oracle import radial
+
+    out = radial.evolve_radial(partial(radial.gauss_radial, d=8), d=8,
+                               r_max=30.0, n_r=1200, t_end=0.5, n_record=10)
+    t, S, m, v = out["times"], out["entropy"], out["mass"], out["var"]
+    S_ref = 4 * np.log(2 * math.pi * math.e * (1 + 2 * t))
+    assert np.abs(S - S_ref).max() < 5e-3
+    assert np.abs(m - m[0]).max() < 1e-10           # conservative scheme
+    np.testing.assert_allclose(v, 1 + 2 * t, atol=2e-3)
+
+
+def test_radial_grid_oracle_student_t_init():
+    """Graded grid (uniform core + geometric tail): the heavy-tailed
+    nu=2 Student-t entropy needs domains of hundreds of units
+    (-f log f ~ r^{-3} log r in d=8); the t=0 grid entropy must match the
+    digamma closed form."""
+    from functools import partial
+
+    from vmc_pde_tpu.oracle import radial
+
+    faces = radial.radial_faces(1000.0, dr0=0.04, r_core=10.0, growth=1.03)
+    out = radial.evolve_radial(
+        partial(radial.student_t_radial, nu=2.0, d=8), d=8,
+        t_end=1e-4, n_record=1, faces=faces)
+    np.testing.assert_allclose(out["entropy"][0],
+                               radial.student_t_entropy(2.0, 8), atol=5e-3)
+    np.testing.assert_allclose(out["mass"][0], 1.0, atol=1e-3)
