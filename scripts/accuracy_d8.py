@@ -45,6 +45,9 @@ def main(argv=None):
                          "compare the dumped curve against the shipped "
                          "paper HDF5)")
     ap.add_argument("--samples", type=int, default=10000)
+    ap.add_argument("--depth", type=int, default=4,
+                    help="coupling-block depth (reference checklist: 4); "
+                         "deeper flows shrink the Student-t ansatz lag")
     ap.add_argument("--samples-obs", type=int, default=None,
                     help="observable budget (default = --samples); raising "
                          "it shrinks the entropy ESTIMATOR noise without "
@@ -92,7 +95,7 @@ def main(argv=None):
     cfg = RunConfig(
         name=f"d8{args.latent.lower()}_seed{args.seed}",
         dim=8, offset=(0.0,) * 8, latent_name=args.latent,
-        equation="diffusion", variant="scale",
+        equation="diffusion", variant="scale", depth=args.depth,
         dt0=args.dt0, max_step=1e-2, t_end=args.t_end,
         increase_fac=args.increase_fac,
         n_samples_tdvp=args.samples,

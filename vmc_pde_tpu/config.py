@@ -38,6 +38,11 @@ class RunConfig:
     sample_seed: int = 1
     n_chains: int = 30
     mcmc_bound: float = 0.25
+    # MCMC proposal: "independence" (uniform ball covering the support,
+    # the reference's) or "rw" (Gaussian random walk with acceptance-
+    # adapted scale -- for unbounded latent targets; sampler.py)
+    proposal_mode: str = "independence"
+    rw_scale: float = 0.5
     n_samples_tdvp: int = 10000
     n_samples_obs: int = 10000
 

@@ -42,6 +42,8 @@ def build_problem(cfg: RunConfig):
         name=cfg.latent_name,
         n_chains=cfg.n_chains,
         mcmc_info={"offset": np.asarray(cfg.offset), "bound": cfg.mcmc_bound},
+        proposal_mode=cfg.proposal_mode,
+        rw_scale=cfg.rw_scale,
         dtype=precision.compute,
     )
 
