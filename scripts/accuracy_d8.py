@@ -57,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--gram-precision", type=str, default="high")
     ap.add_argument("--gram-backend", type=str, default="auto")
     ap.add_argument("--use-snr", action="store_true")
+    ap.add_argument("--eloc-clip", type=float, default=0.0,
+                    help=">0: winsorize Eloc at this many robust sigmas")
     ap.add_argument("--snr-tol", type=float, default=2.0)
     ap.add_argument("--svd-tol", type=float, default=1e-11)
     ap.add_argument("--no-tol-floor", action="store_true")
@@ -104,6 +106,7 @@ def main(argv=None):
         gram_precision=args.gram_precision,
         gram_backend=args.gram_backend,
         use_snr=args.use_snr, snr_tol=args.snr_tol, svd_tol=args.svd_tol,
+        eloc_clip=args.eloc_clip,
         auto_tol_floor=not args.no_tol_floor,
         solver_method=args.solver,
         solve_on_device=not args.solve_on_host,

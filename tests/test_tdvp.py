@@ -539,3 +539,39 @@ def test_adaptive_attempt_nan_flag_covers_all_stages(ctx1):
     dy1, err, aux = tdvp.heun_attempt(theta, 0.0, 1e12,
                                       jax.random.PRNGKey(3))
     assert bool(aux["nan"]) or np.isfinite(float(err))
+
+
+def test_eloc_clip_tames_outlier(ctx1):
+    """Winsorized Eloc (eloc_clip, the robust form of the reference's
+    commented-out clip at tdvp.py:123) must bound the influence of a tail
+    event: with heavy-tailed Student-t samples the clipped force stays
+    within a factor of the unclipped MEDIAN-regime force, and the clip is
+    a no-op for well-behaved (Gaussian) statistics."""
+    cfg0 = TDVPConfig()
+    cfgc = TDVPConfig(eloc_clip=30.0)
+    st, t0 = make_problem(ctx1, dim=4, n=2048, latent_name="Student_t",
+                          cfg=cfg0)
+    _, tc = make_problem(ctx1, dim=4, n=2048, latent_name="Student_t",
+                         cfg=cfgc)
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(9)
+    u0, a0 = t0.rhs(theta, 0.0, key)
+    uc, ac = tc.rhs(theta, 0.0, key)
+    # clipping bounds the heavy-tail influence: |Eloc| diagnostics shrink
+    assert float(ac["eloc_var"]) <= float(a0["eloc_var"]) + 1e-12
+    assert float(ac["max_grad"]) <= float(a0["max_grad"]) + 1e-12
+    assert np.isfinite(np.asarray(uc)).all()
+    # Gauss: exactly a no-op at 30 robust sigmas
+    stg, tg0 = make_problem(ctx1, dim=4, n=2048, cfg=cfg0)
+    _, tgc = make_problem(ctx1, dim=4, n=2048, cfg=cfgc)
+    th = stg.get_parameters()
+    ug0, _ = tg0.rhs(th, 0.0, jax.random.PRNGKey(10))
+    ugc, _ = tgc.rhs(th, 0.0, jax.random.PRNGKey(10))
+    np.testing.assert_allclose(np.asarray(ugc), np.asarray(ug0),
+                               rtol=1e-3, atol=1e-9)
+
+
+def test_eloc_clip_rejects_chunked(ctx1):
+    with pytest.raises(ValueError, match="eloc_clip"):
+        make_problem(ctx1, dim=2, n=1024,
+                     cfg=TDVPConfig(eloc_clip=5.0, chunk_size=256))

@@ -51,6 +51,10 @@ class RunConfig:
     use_snr: bool = False
     snr_tol: float = 2.0
     svd_tol: float = 1e-11
+    # > 0: winsorize Eloc at this many robust (MAD) sigmas -- heavy-tail
+    # MC-bias control (solver/tdvp.py _maybe_clip_eloc); ~30 leaves
+    # Gaussian-grade statistics untouched
+    eloc_clip: float = 0.0
     diagonal_shift: float = 0.0
     solve_on_device: bool = True
     solver_method: str = "auto"     # auto | eigh | cholesky | cg | minsr

@@ -78,6 +78,7 @@ def build_problem(cfg: RunConfig):
         use_snr=cfg.use_snr,
         snr_tol=cfg.snr_tol,
         svd_tol=cfg.svd_tol,
+        eloc_clip=cfg.eloc_clip,
         diagonal_shift=cfg.diagonal_shift,
         solver_method=cfg.solver_method,
         eigh_max_params=cfg.eigh_max_params,

@@ -60,6 +60,10 @@ class TDVPConfig:
     svd_tol: float = 1e-11
     diagonal_shift: float = 0.0
     eig_cutoff: float = 1e-14
+    # > 0: winsorize Eloc at this many robust (MAD) standard deviations --
+    # heavy-tail MC-bias control (see _maybe_clip_eloc). Direct-stats
+    # paths only (the streaming path has no global median).
+    eloc_clip: float = 0.0
     # Linear-solver strategy. "eigh" is the reference's spectral
     # pseudo-inverse with per-mode regularization (tdvp.py:57-91); its cost
     # is a dense O(P^3) eigendecomposition that dominates the whole step
@@ -371,6 +375,9 @@ class TDVP:
             method = cfg.solver_method
         if method not in ("eigh", "cholesky", "cg", "minsr"):
             raise ValueError(f"unknown solver_method {method!r}")
+        if cfg.eloc_clip and 0 < cfg.chunk_size:
+            raise ValueError("eloc_clip needs the direct stats path "
+                             "(global median); use chunk_size=0")
         if method in ("cg", "minsr") and cfg.chunk_size:
             raise ValueError(f"solver_method={method!r} works on the "
                              "materialized O matrix; use chunk_size=0")
@@ -497,11 +504,28 @@ class TDVP:
     # ------------------------------------------------------------------
     # Statistics assembly (tdvp.py:36-52 + SNR second moment).
     # ------------------------------------------------------------------
+    def _maybe_clip_eloc(self, eloc):
+        """Robust heavy-tail control (cfg.eloc_clip > 0): winsorize Eloc at
+        eloc_clip robust standard deviations (1.4826 * MAD) around the
+        median. The reference carries the same idea as commented-out code
+        (tdvp.py:123, a hard +-100 gradient clip); the MAD form is
+        scale-free. Heavy-tailed workloads (Student-t nu=2: Eloc variance
+        infinite) otherwise pay an O(1/N)-decaying MC bias in the
+        force/Gram (BENCHMARKS.md Student-t section). Off by default --
+        clipping trades a small controlled bias for that variance."""
+        c = self.cfg.eloc_clip
+        if not c:
+            return eloc
+        med = jnp.median(eloc)
+        scale = 1.4826 * jnp.median(jnp.abs(eloc - med))
+        return med + jnp.clip(eloc - med, -c * scale, c * scale)
+
     def _direct_stats(self, theta_c, t, x):
         """Direct path: materialize O once, center, contract on the MXU."""
         cfg = self.cfg
         n = x.shape[0]
         logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        eloc = self._maybe_clip_eloc(eloc)
         O = self.ctx.constrain(O, self.ctx.osample_spec)
 
         eloc_mean = stats.mean(eloc)
@@ -877,6 +901,7 @@ class TDVP:
         very large parameter counts."""
         cfg = self.cfg
         logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        eloc = self._maybe_clip_eloc(eloc)
         O = self.ctx.constrain(O, self.ctx.osample_spec)
         eloc_mean = stats.mean(eloc)
         e_c = eloc - eloc_mean
@@ -937,6 +962,7 @@ class TDVP:
         spectral observability (see _solve_minsr)."""
         cfg = self.cfg
         logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        eloc = self._maybe_clip_eloc(eloc)
         O = self.ctx.constrain(O, self.ctx.osample_spec)
         eloc_mean = stats.mean(eloc)
         e_c = eloc - eloc_mean
