@@ -291,3 +291,28 @@ def test_radial_grid_oracle_student_t_init():
     np.testing.assert_allclose(out["entropy"][0],
                                radial.student_t_entropy(2.0, 8), atol=5e-3)
     np.testing.assert_allclose(out["mass"][0], 1.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_e2e_anisotropic_covariance_flow():
+    """diffusion_anisotropic through the JITTED solver (regression: the
+    random SPD D was drawn with jax.random inside eloc and np.asarray'd,
+    which crashes under any trace -- no CI path ever stepped this
+    equation before). The Gaussian stays Gaussian with the closed form
+    Sigma(t) = I + 2 D t (full matrix)."""
+    from vmc_pde_tpu.config import preset
+    from vmc_pde_tpu.driver import run
+    from vmc_pde_tpu.ops.evolution import DiffusionAnisotropic
+
+    cfg = preset("diffusion_anisotropic", n_samples_tdvp=4096,
+                 n_samples_obs=4096, dt0=1e-3, max_step=1e-3, t_end=0.03,
+                 precision="f64", verbose=False, steps_per_dispatch=8)
+    state, rec = run(cfg, max_steps=30)
+    infos = rec.as_arrays()
+    D = np.asarray(DiffusionAnisotropic(dim=12, seed=0).D_matrix)
+    t = infos["times"][-1]
+    exact = np.eye(12) + 2.0 * D * t
+    cov = np.asarray(infos["covar"][-1])
+    err = np.abs(cov - exact).max() / np.abs(exact).max()
+    assert err < 0.08, err
+    assert np.median(infos["solver_res"]) < 1e-6

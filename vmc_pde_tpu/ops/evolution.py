@@ -30,6 +30,7 @@ Coordinate layout for phase-space operators: [x1, p1, x2, p2, ...]
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -74,10 +75,16 @@ def velocity_field_hamiltonian(coord, t, m=1.0, omega=1.0, lam=0.0, coupled=Fals
     return (J @ grads).astype(coord.dtype)
 
 
+@functools.lru_cache(maxsize=None)
 def random_spd_matrix(dim: int, seed: int = 0):
-    """Random SPD diffusion matrix D = A^T A (evolutionEq.py:18-20)."""
-    A = jax.random.normal(jax.random.PRNGKey(seed), shape=(dim, dim))
-    return np.asarray(A.T @ A)
+    """Random SPD diffusion matrix D = A^T A (evolutionEq.py:18-20, same
+    PRNGKey draw). Evaluated EAGERLY and cached: eloc() runs under jit, and
+    a jax.random draw made inside the trace cannot be np.asarray'd (the
+    reference only ever built D at setup scope, so its in-jit use never
+    arose)."""
+    with jax.ensure_compile_time_eval():
+        A = jax.random.normal(jax.random.PRNGKey(seed), shape=(dim, dim))
+        return np.asarray(A.T @ A)
 
 
 # ---------------------------------------------------------------------------
