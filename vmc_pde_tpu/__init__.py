@@ -22,7 +22,7 @@ from .utils.grid import Grid
 from .utils.infos import InfoRecorder, load_infos, store_infos
 from .utils.timings import Timings
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "AdaptiveHeun", "BlockSpec", "FixedStepper", "Flow", "Grid",
