@@ -25,6 +25,10 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # x64 must match the run: the D draw's VALUES depend on the default
+    # dtype (f32 vs f64 jax.random.normal differ), and every driver
+    # precision preset enables x64
+    jax.config.update("jax_enable_x64", True)
 
     from vmc_pde_tpu.ops.evolution import DiffusionAnisotropic
     from vmc_pde_tpu.utils.infos import load_infos
