@@ -120,8 +120,12 @@ def main(argv=None):
     t_wall += time.perf_counter()
     t_wall2 = None
     if args.twice:
+        # vary the RNG stream: the tunnel memoizes identical
+        # (program, input) executions (CLAUDE.md), so replaying the same
+        # seeds would measure cache replay, not execution
+        cfg2 = dataclasses.replace(cfg, sample_seed=args.seed + 1000)
         t_wall2 = -time.perf_counter()
-        state, rec = run(cfg)
+        state, rec = run(cfg2)
         t_wall2 += time.perf_counter()
     infos = rec.as_arrays()
     t = np.asarray(infos["times"])
@@ -153,6 +157,11 @@ def main(argv=None):
             "samples_obs": args.samples_obs or args.samples,
             "increase_fac": args.increase_fac,
             "dt0": args.dt0,
+            "latent": args.latent,
+            "depth": args.depth,
+            "eloc_clip": args.eloc_clip,
+            "solver": args.solver,
+            "solve_on_host": args.solve_on_host,
         },
     }
     if args.dump_curve:

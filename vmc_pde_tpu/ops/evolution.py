@@ -78,12 +78,17 @@ def velocity_field_hamiltonian(coord, t, m=1.0, omega=1.0, lam=0.0, coupled=Fals
 @functools.lru_cache(maxsize=None)
 def random_spd_matrix(dim: int, seed: int = 0):
     """Random SPD diffusion matrix D = A^T A (evolutionEq.py:18-20, same
-    PRNGKey draw). Evaluated EAGERLY and cached: eloc() runs under jit, and
-    a jax.random draw made inside the trace cannot be np.asarray'd (the
-    reference only ever built D at setup scope, so its in-jit use never
-    arose)."""
-    with jax.ensure_compile_time_eval():
-        A = jax.random.normal(jax.random.PRNGKey(seed), shape=(dim, dim))
+    PRNGKey draw as the reference under its global x64). Evaluated EAGERLY
+    and cached: eloc() runs under jit, and a jax.random draw made inside
+    the trace cannot be np.asarray'd (the reference only ever built D at
+    setup scope, so its in-jit use never arose). The draw is pinned to
+    f64 regardless of the global x64 flag -- jax.random.normal yields
+    DIFFERENT values per dtype, so an x64-dependent draw would make f32
+    runs solve a different PDE than validators compare against (and the
+    cache would pin whichever dtype came first)."""
+    with jax.enable_x64(True), jax.ensure_compile_time_eval():
+        A = jax.random.normal(jax.random.PRNGKey(seed), shape=(dim, dim),
+                              dtype=jnp.float64)
         return np.asarray(A.T @ A)
 
 

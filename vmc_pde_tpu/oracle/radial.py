@@ -111,8 +111,12 @@ def evolve_radial(
     # explicit stability: dt < dr^2 / (2 d D) (the d-dim Laplacian CFL)
     dt = cfl * dr_min * dr_min / (2.0 * d * D)
     n_steps = int(math.ceil(t_end / dt))
-    dt = t_end / n_steps
     every = max(n_steps // n_record, 1)
+    # round the step count UP to whole recording chunks so the trajectory
+    # reaches exactly t_end (a truncating n_steps // every would silently
+    # stop short when n_record does not divide n_steps)
+    n_steps = -(-n_steps // every) * every
+    dt = t_end / max(n_steps, 1)
 
     def rhs(f):
         flux = -D * areaj[1:-1] * (f[1:] - f[:-1]) / drcj  # inner faces

@@ -375,6 +375,10 @@ class TDVP:
             method = cfg.solver_method
         if method not in ("eigh", "cholesky", "cg", "minsr"):
             raise ValueError(f"unknown solver_method {method!r}")
+        if cfg.eloc_clip < 0:
+            # jnp.clip with min > max would silently collapse every Eloc
+            # to one constant and freeze the dynamics
+            raise ValueError("eloc_clip must be >= 0 (robust sigmas)")
         if cfg.eloc_clip and 0 < cfg.chunk_size:
             raise ValueError("eloc_clip needs the direct stats path "
                              "(global median); use chunk_size=0")
