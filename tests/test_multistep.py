@@ -74,3 +74,15 @@ def test_multistep_checkpoint_boundaries(tmp_path):
     c1 = sorted(f for f in os.listdir(w1) if f.startswith("ckpt_"))
     c4 = sorted(f for f in os.listdir(w4) if f.startswith("ckpt_"))
     assert c1 == c4 and len(c1) > 1
+
+
+def test_multistep_euler_falls_back_to_per_step():
+    """fixed_euler cannot batch (the scan is Heun-pair-shaped): with
+    steps_per_dispatch set, the driver must silently fall back to per-step
+    dispatch and produce the identical trajectory."""
+    s1, r1 = run(_cfg(stepper="fixed_euler", steps_per_dispatch=1))
+    s2, r2 = run(_cfg(stepper="fixed_euler", steps_per_dispatch=4))
+    a1, a2 = r1.as_arrays(), r2.as_arrays()
+    np.testing.assert_array_equal(a1["times"], a2["times"])
+    np.testing.assert_array_equal(np.asarray(s1.get_parameters()),
+                                  np.asarray(s2.get_parameters()))
