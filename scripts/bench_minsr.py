@@ -1,14 +1,16 @@
 """Measure the minSR kernel-space solver against Cholesky in its design
 regime (P >> N) on real TPU hardware.
 
-Builds a deep d=32 flow (depth/hidden chosen to push P toward 10^5),
-samples N=4096, and times one fused TDVP RHS per solver with the
+Builds a deep d=32 flow (defaults: depth 8, hidden 32 -> P = 34,864;
+--depth 16 --hidden 128 -> P = 271,920), samples N=1024 (the published
+BENCHMARKS.md numbers), and times one fused TDVP RHS per solver with the
 BENCHMARKS.md device-only methodology (K reps chained in one jit is not
 possible across solver objects, so each RHS is timed as dispatch+block
 after a warmup call; at these solve costs the tunnel's ~0.1 s dispatch
 is negligible).
 
-Usage: python scripts/bench_minsr.py [--depth 16] [--hidden 128] [--n 4096]
+Usage: python scripts/bench_minsr.py [--depth 8] [--hidden 32] [--n 1024]
+       python scripts/bench_minsr.py --depth 16 --hidden 128 --methods minsr
 """
 
 from __future__ import annotations
@@ -71,7 +73,7 @@ def main(argv=None):
               flush=True)
         results[method] = best
 
-    if len(results) == 2:
+    if "minsr" in results and "cholesky" in results:
         print(f"minsr speedup over cholesky at P>>N: "
               f"{results['cholesky'] / results['minsr']:.2f}x")
 

@@ -76,6 +76,7 @@ def test_multistep_checkpoint_boundaries(tmp_path):
     assert c1 == c4 and len(c1) > 1
 
 
+@pytest.mark.slow
 def test_multistep_euler_falls_back_to_per_step():
     """fixed_euler cannot batch (the scan is Heun-pair-shaped): with
     steps_per_dispatch set, the driver must silently fall back to per-step
