@@ -256,13 +256,13 @@ def main():
                          "lets the auto gram backend use the triangle "
                          "syrk kernel on single-chip TPU)")
     ap.add_argument("--gram-precision", type=str, default="high",
-                    choices=["highest", "high", "default"])
+                    choices=["highest", "high", "default", "f64"])
     ap.add_argument("--gram-backend", type=str, default="auto",
                     choices=["auto", "xla", "syrk"],
                     help="Gram contraction backend (syrk = triangle-only "
                          "Pallas kernel; 'auto' uses it on single-chip TPU)")
     ap.add_argument("--solver", type=str, default="auto",
-                    choices=["auto", "eigh", "cholesky", "cg"])
+                    choices=["auto", "eigh", "cholesky", "cg", "minsr"])
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--stages", action="store_true",

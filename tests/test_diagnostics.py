@@ -255,3 +255,60 @@ def test_plot_data_diff_asymmetric_density():
 
     plt.close(fig)
     assert l1 < 0.1, l1
+
+
+def test_async_recorder_wired_into_driver(tmp_path):
+    """Round-3 item 5: the native recorder is a PRODUCT component, not a
+    dangling one -- `async_recorder=True` makes the driver stream the same
+    per-step metrics into <workdir>/metrics.bin, and the binary log must
+    agree with the InfoRecorder/HDF5 stream."""
+    from vmc_pde_tpu.config import preset
+    from vmc_pde_tpu.driver import run
+    from vmc_pde_tpu.utils.recorder import AsyncRecorder, log_to_infos
+
+    probe = AsyncRecorder(str(tmp_path / "probe.bin"))
+    if not probe.available:
+        pytest.skip("no C++ toolchain")
+    probe.close()
+
+    wdir = str(tmp_path / "run")
+    cfg = preset("mwe", n_samples_tdvp=512, n_samples_obs=512,
+                 t_end=0.01, precision="f64", verbose=False,
+                 workdir=wdir, async_recorder=True, grid_points=30)
+    state, rec = run(cfg, max_steps=8)
+
+    infos_bin = log_to_infos(os.path.join(wdir, "metrics.bin"))
+    infos = rec.as_arrays()
+    for key in ("times", "solver_res", "tdvp_error", "entropy", "x1",
+                "covar", "dist_params"):
+        a = np.asarray(infos[key], dtype=np.float64)
+        b = np.asarray(infos_bin[key], dtype=np.float64).reshape(a.shape)
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15,
+                                   err_msg=key)
+    assert "update" not in infos_bin  # SKIP_KEYS honored
+
+
+def test_async_recorder_multistep_dispatch(tmp_path):
+    """The batched (steps_per_dispatch) branch records per-step slices."""
+    from vmc_pde_tpu.config import preset
+    from vmc_pde_tpu.driver import run
+    from vmc_pde_tpu.utils.recorder import AsyncRecorder, log_to_infos
+
+    probe = AsyncRecorder(str(tmp_path / "probe.bin"))
+    if not probe.available:
+        pytest.skip("no C++ toolchain")
+    probe.close()
+
+    wdir = str(tmp_path / "run")
+    cfg = preset("diffusion", dim=4, offset=(0.0,) * 4,
+                 n_samples_tdvp=512, n_samples_obs=512,
+                 t_end=0.01, precision="f64", verbose=False,
+                 workdir=wdir, async_recorder=True,
+                 steps_per_dispatch=3)
+    state, rec = run(cfg, max_steps=6)
+    infos_bin = log_to_infos(os.path.join(wdir, "metrics.bin"))
+    infos = rec.as_arrays()
+    a = np.asarray(infos["entropy"], dtype=np.float64)
+    b = np.asarray(infos_bin["entropy"], dtype=np.float64)
+    np.testing.assert_allclose(b, a.reshape(b.shape), rtol=1e-12)
+    assert len(infos_bin["times"]) == len(a)

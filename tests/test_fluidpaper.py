@@ -121,3 +121,57 @@ def test_fluidpaper_model_vs_oracle_trajectory():
     # the window is discriminating: the cloud actually moved and deformed
     assert np.linalg.norm(o_x1[-1] - o_x1[0]) > 0.025
     assert abs(o_cov[-1][1, 1] / o_cov[0][1, 1] - 1) > 0.15
+
+
+def test_fluidpaper_fused_mcmc_multi_matches_per_step():
+    """The Metropolis chain now traces INTO the fused stepper programs with
+    its state threaded through dispatches (round-3 item: the reference pmaps
+    chains but re-dispatches per call, vmc_fluids/sampler.py:79-86). With
+    identical keys, K batched steps (heun_multi) must be RNG-IDENTICAL to K
+    per-step fused pairs."""
+    def make():
+        cfg = preset(
+            "fluidpaper", n_samples_tdvp=640, n_samples_obs=640,
+            n_chains=64, dt0=1e-3, max_step=1e-3, precision="f64",
+            verbose=False,
+        )
+        from vmc_pde_tpu.driver import build_problem
+
+        state, tdvp, stepper, eq, grid = build_problem(cfg)
+        return state, tdvp
+
+    state, tdvp = make()
+    assert tdvp._mcmc_fused and tdvp.fused_steps_available
+
+    theta0 = state.get_parameters()
+    keys = [jax.random.PRNGKey(100 + i) for i in range(3)]
+    ts = [0.0, 1e-3, 2e-3]
+
+    # per-step fused pairs
+    theta = theta0
+    accs, entropies = [], []
+    for t, k in zip(ts, keys):
+        dy, aux = tdvp.heun_pair(theta, t, 1e-3, k)
+        theta = theta + dy
+        accs.append(tdvp.sampler.last_info.acceptance_rate)
+        entropies.append(float(aux["entropy"]))
+    assert all(0.05 < a < 0.95 for a in accs), accs
+
+    # one batched dispatch, fresh problem (fresh chain state)
+    state2, tdvp2 = make()
+    theta_m, auxs = tdvp2.heun_multi(theta0, ts, [1e-3] * 3,
+                                     jnp.stack(keys))
+    # identical chain stream: per-step observables reproduce to reduction-
+    # reordering noise; theta to the same tolerance as the exact-latent
+    # multistep contract (test_multistep.py -- the regularized solve
+    # amplifies last-bit reduction reordering between the two programs)
+    ent_m = np.asarray(auxs["entropy"])
+    # step 0 starts from identical (theta, chain state, key): bit-identical
+    # samples, so entropy matches to reduction-reordering noise; later steps
+    # inherit the regularized solve's amplification of that noise
+    np.testing.assert_allclose(ent_m[0], entropies[0], rtol=1e-12)
+    np.testing.assert_allclose(ent_m, np.asarray(entropies), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(theta_m), np.asarray(theta),
+                               rtol=2e-3, atol=1e-6)
+    # acceptance counts recorded per step
+    assert (np.asarray(auxs["mcmc_proposed"]) > 0).all()

@@ -129,6 +129,38 @@ def test_pretrain_decreases_loss(ctx1):
     assert losses[-1] < losses[0]
 
 
+def test_pretrain_periodic_grid_check(tmp_path, ctx1):
+    """Reference train.py:52-58 parity: every check_every epochs the grid
+    integral is recorded (and plots saved when workdir is set)."""
+    import os
+
+    from vmc_pde_tpu.models.flow import build_flow
+    from vmc_pde_tpu.models.state import VarState
+    from vmc_pde_tpu.pretrain.train import gen_data, train
+    from vmc_pde_tpu.utils.dtypes import Precision
+    from vmc_pde_tpu.utils.grid import Grid
+
+    prec = Precision.f64_everywhere()
+    fl, params = build_flow(0, dim=2, depth=2, dtype=jnp.float64)
+    st = VarState(fl, params, ctx=ctx1, precision=prec)
+    data, target = gen_data((1000, 2), mode="standard_normal")
+    grid = Grid(np.ones(2) * 8.0, 60)
+
+    def target_np(coords):
+        return np.asarray(target(jnp.asarray(coords)))
+
+    train(st, data, batchsize=200, epochs=4, lr=3e-3,
+          grid=grid, check_every=2, workdir=str(tmp_path),
+          target_fun=target_np)
+    checks = st.pretrain_grid_integrals
+    assert [e for e, _ in checks] == [2, 4]
+    # a freshly-initialized near-identity flow is ~normalized already
+    for _, integral in checks:
+        assert abs(integral - 1.0) < 0.2
+    assert os.path.exists(tmp_path / "fit_epoch2.pdf")
+    assert os.path.exists(tmp_path / "fit_diff_epoch4.pdf")
+
+
 def test_driver_checkpoint_resume(tmp_path):
     """A checkpointed run resumes from where it stopped (params, t, dt)."""
     from vmc_pde_tpu.utils.checkpoint import latest_checkpoint
@@ -210,14 +242,28 @@ def test_driver_cli_solver_flags(tmp_path, capsys):
         assert "SExp" not in f
 
 
-def test_driver_rejects_adaptive_cg():
+def test_adaptive_stepper_large_p_solvers():
+    """Round-3 item: adaptive stepping works with the SExp-free solver
+    strategies via the matrix-free S-metric (TDVP._sexp_quad). The driver's
+    old adaptive+cg/minsr rejection is lifted; dt must actually adapt and
+    the physics stay on the analytic entropy curve."""
     from vmc_pde_tpu.config import preset
-    from vmc_pde_tpu.driver import build_problem
+    from vmc_pde_tpu.driver import build_problem, run
 
-    cfg = preset("mwe", stepper="adaptive_heun", solver_method="cg",
-                 n_samples_tdvp=64, n_samples_obs=64)
-    with pytest.raises(ValueError, match="SExp"):
-        build_problem(cfg)
+    for solver in ("cg", "minsr"):
+        cfg = preset(
+            "mwe", stepper="adaptive_heun", solver_method=solver,
+            n_samples_tdvp=1024, n_samples_obs=1024, dt0=1e-4, tol=1e-2,
+            max_step=5e-2, t_end=0.1, precision="f64", verbose=False,
+            grid_points=40,
+        )
+        _, tdvp, stepper, _, _ = build_problem(cfg)
+        assert tdvp._sexp_matfree and not tdvp.cfg.compute_sexp
+        state, rec = run(cfg, max_steps=40)
+        infos = rec.as_arrays()
+        assert infos["times"][-1] > 0.03, solver  # dt grew past 1e-4
+        S_exact = gauss_diffusion_entropy(infos["times"], dim=2)
+        assert np.abs(infos["entropy"] - S_exact).max() < 0.08, solver
 
 
 def test_pretrain_checkpoint_resume(tmp_path, ctx1):

@@ -17,8 +17,11 @@ def test_budget_rounding(ctx8):
     m = Sampler(dim=2, ctx=ctx8, name="cos_dist", n_chains=30,
                 mcmc_info={"offset": np.zeros(2), "bound": 0.25},
                 dtype=jnp.float64)
+    # chain counts round up to a dp multiple so the chain-state array
+    # shards evenly (30 -> 32 on dp8)
+    assert m.n_chains == 32
     b = m.rounded_budget(1000)
-    assert b % np.lcm(8, 30) == 0 and b >= 1000
+    assert b % np.lcm(8, m.n_chains) == 0 and b >= 1000
 
 
 def test_exact_gauss_offset(ctx1):
@@ -137,3 +140,39 @@ def test_rw_pallas_conflict_rejected(ctx1):
     with pytest.raises(ValueError, match="independence"):
         Sampler(dim=2, ctx=ctx1, name="cos_dist", n_chains=128,
                 proposal_mode="rw", use_pallas=True)
+
+
+def test_mcmc_chains_sharded_match_single_device(ctx1, ctx8):
+    """Mesh-parallel MCMC (the reference pmaps its chains,
+    vmc_fluids/sampler.py:82): the dp8-sharded chain ensemble must
+    reproduce single-device statistics, and the chain-state carry must be
+    dp-sharded."""
+    offset = np.array([0.25, 0.25])
+    kw = dict(dim=2, name="cos_dist", n_chains=64,
+              mcmc_info={"offset": offset, "bound": 0.25},
+              burn_in=100, dtype=jnp.float64)
+    s1 = Sampler(ctx=ctx1, **kw)
+    s8 = Sampler(ctx=ctx8, **kw)
+
+    key = jax.random.PRNGKey(5)
+    z1, _ = s1.sample(key, flow=None, params=None, n=100_000)
+    z8, _ = s8.sample(key, flow=None, params=None, n=100_000)
+
+    # identical key + partitionable threefry -> identical draws regardless
+    # of the mesh; the sharded run IS the single-device run
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(z1), atol=1e-12)
+
+    # statistics are those of the bump
+    r = np.linalg.norm(np.asarray(z8) - offset, axis=-1)
+    rr = np.linspace(0, 0.25, 2001)
+    pdf = rr * (1 + np.cos(4 * np.pi * rr))
+    mean_r = np.trapezoid(rr * pdf, rr) / np.trapezoid(pdf, rr)
+    np.testing.assert_allclose(r.mean(), mean_r, rtol=0.03)
+
+    # the chain state produced by the fused-chain API is dp-sharded
+    cs = s8.ensure_chain_state(jax.random.PRNGKey(7))
+    fn = jax.jit(s8.make_chain_fn(), static_argnames=("n_steps",))
+    zz, cs2, acc = fn(jax.random.PRNGKey(8), cs, None, n_steps=16)
+    assert not cs2.sharding.is_fully_replicated
+    assert zz.shape == (16 * 64, 2)
+    assert 0 < int(acc) <= 16 * 64

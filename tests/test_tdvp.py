@@ -475,15 +475,48 @@ def test_minsr_matches_eigh_overdetermined_physics(ctx1):
 def test_minsr_config_validation(ctx1):
     with pytest.raises(ValueError):
         make_problem(ctx1, dim=2, n=1024,
-                     cfg=TDVPConfig(solver_method="minsr", chunk_size=512))
-    with pytest.raises(ValueError):
-        make_problem(ctx1, dim=2, n=1024,
                      cfg=TDVPConfig(solver_method="minsr",
                                     solve_on_device=False))
     with pytest.raises(ValueError, match="SExp"):
         make_problem(ctx1, dim=2, n=1024,
                      cfg=TDVPConfig(solver_method="minsr",
                                     compute_sexp=True))
+
+
+def test_minsr_chunked_matches_direct(ctx1):
+    """Streaming minSR (round-3 item: T assembled in sample-chunk pairs, the
+    (N, P) O matrix never materializes) must reproduce the direct path on
+    identical samples. The regularized kernel inverse amplifies last-bit
+    differences in T by up to ~1/svd_tol on threshold modes, hence the
+    looser update tolerance; the spectrum itself matches tightly."""
+    cfg_d = TDVPConfig(solver_method="minsr")
+    cfg_c = TDVPConfig(solver_method="minsr", chunk_size=512)
+    st, td = make_problem(ctx1, dim=4, n=2048, cfg=cfg_d)
+    _, tc = make_problem(ctx1, dim=4, n=2048, cfg=cfg_c)
+    key = jax.random.PRNGKey(3)
+    theta = st.get_parameters()
+    u1, a1 = td.rhs(theta, 0.0, key)
+    u2, a2 = tc.rhs(theta, 0.0, key)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a2["ev"]), np.asarray(a1["ev"]),
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(float(a2["entropy"]), float(a1["entropy"]),
+                               rtol=1e-10)
+    assert float(a1["solver_res"]) < 1e-8
+    assert float(a2["solver_res"]) < 1e-8
+    np.testing.assert_allclose(float(a2["tdvp_error"]),
+                               float(a1["tdvp_error"]), rtol=1e-4,
+                               atol=1e-8)
+
+
+def test_minsr_chunked_sharded(ctx8):
+    """Streaming minSR composes with the dp mesh."""
+    cfg = TDVPConfig(solver_method="minsr", chunk_size=512)
+    st, tc = make_problem(ctx8, dim=2, n=2048, cfg=cfg)
+    u, aux = tc.rhs(st.get_parameters(), 0.0, jax.random.PRNGKey(12))
+    assert not bool(aux["nan"])
+    assert float(aux["solver_res"]) < 1e-8
 
 
 def test_minsr_sharded_matches_single_device(ctx8, ctx1):
@@ -575,3 +608,27 @@ def test_eloc_clip_rejects_chunked(ctx1):
     with pytest.raises(ValueError, match="eloc_clip"):
         make_problem(ctx1, dim=2, n=1024,
                      cfg=TDVPConfig(eloc_clip=5.0, chunk_size=256))
+
+
+def test_sexp_matfree_matches_dense(ctx1):
+    """The matrix-free S-metric quadratic (one jvp pass, TDVP._sexp_quad)
+    must equal v^T SExp v against the dense (P, P) SExp on identical
+    samples -- the validation VERDICT item 3 asks for before trusting it at
+    P where the dense matrix cannot be formed."""
+    cfg_d = TDVPConfig(sexp_mode="dense")
+    cfg_m = TDVPConfig(sexp_mode="matfree")
+    st, td = make_problem(ctx1, dim=3, n=2048, cfg=cfg_d)
+    _, tm = make_problem(ctx1, dim=3, n=2048, cfg=cfg_m)
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(5)
+    _, a_d = td.rhs(theta, 0.0, key)
+    _, a_m = tm.rhs(theta, 0.0, key)  # same key -> identical exact draws
+    S = np.asarray(a_d["SExp"], dtype=np.float64)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        v = rng.normal(size=S.shape[0]) * 1e-3
+        dense = float(v @ S @ v)
+        mf = float(tm.sexp_norm(v))
+        np.testing.assert_allclose(mf, dense, rtol=1e-8)
+    # the matfree rhs must NOT have formed a (P, P) SExp
+    assert "SExp" not in a_m and not tm.cfg.compute_sexp

@@ -76,9 +76,10 @@ class RunConfig:
     t_end: float = 5.0
     # >1 batches that many fixed-Heun steps into ONE device dispatch
     # (lax.scan in TDVP.heun_multi), amortizing host dispatch latency;
-    # RNG/physics/recorded infos identical to per-step integration.
+    # RNG/physics/recorded infos identical to per-step integration (MCMC
+    # workloads included: the chain state threads through the scan carry).
     # Auto-disabled when a per-step host action applies (verbose logging,
-    # 2-D grid plotting, profiler window, callbacks, MCMC sampler).
+    # 2-D grid plotting, profiler window, callbacks).
     steps_per_dispatch: int = 1
 
     # runtime
@@ -92,6 +93,13 @@ class RunConfig:
     grid_points: int = 200
     plot_every: float = 1.0
     workdir: Optional[str] = None
+    # True: ALSO stream per-step metrics through the native C++ async
+    # recorder (native/recorder.cpp) into <workdir>/metrics.bin -- the step
+    # loop never waits on file IO (a background thread drains a bounded
+    # queue), and the binary log converts losslessly to the infos schema
+    # (utils.recorder.log_to_infos). Costs one device->host transfer per
+    # step (per batch under steps_per_dispatch). Requires workdir.
+    async_recorder: bool = False
     checkpoint_every: int = 0       # steps; 0 = off
     resume: bool = False            # resume from workdir's latest checkpoint
     profile_dir: Optional[str] = None  # capture a jax.profiler trace here

@@ -67,13 +67,6 @@ def build_problem(cfg: RunConfig):
 
     equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
 
-    if cfg.stepper == "adaptive_heun" and cfg.solver_method in ("cg",
-                                                                "minsr"):
-        raise ValueError(
-            "stepper='adaptive_heun' needs the SExp matrix for its S-metric "
-            f"error norm; solver_method={cfg.solver_method!r} cannot provide "
-            "it (use 'cholesky', 'eigh', or 'auto')"
-        )
     tdvp_cfg = TDVPConfig(
         use_snr=cfg.use_snr,
         snr_tol=cfg.snr_tol,
@@ -87,7 +80,10 @@ def build_problem(cfg: RunConfig):
         cg_maxiter=cfg.cg_maxiter,
         cg_tol=cfg.cg_tol,
         auto_tol_floor=cfg.auto_tol_floor,
-        compute_sexp=(cfg.stepper == "adaptive_heun"),
+        # adaptive stepping needs an S-metric: dense (P, P) SExp for the
+        # eigh solver (reference parity), matrix-free v^T SExp v for the
+        # large-P strategies (cholesky/cg/minsr) -- see TDVPConfig.sexp_mode
+        sexp_mode=("auto" if cfg.stepper == "adaptive_heun" else "none"),
         solve_on_device=cfg.solve_on_device,
         chunk_size=cfg.chunk_size,
         integrals=cfg.integrals,
@@ -141,6 +137,26 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     if wdir and is_coordinator():
         os.makedirs(wdir, exist_ok=True)
 
+    # Native async metrics sink (config flag; SURVEY section 5.5): records
+    # mirror the InfoRecorder stream into <workdir>/metrics.bin via the C++
+    # background writer -- no file IO on the step loop.
+    arec = None
+    if cfg.async_recorder:
+        if not wdir:
+            raise ValueError("async_recorder needs a workdir")
+        if is_coordinator():
+            from .utils.recorder import AsyncRecorder
+
+            arec = AsyncRecorder(os.path.join(wdir, "metrics.bin"))
+            if not arec.available:
+                arec = None
+
+    def arec_record(step, t_at, info_host):
+        arec.record("times", step, t_at)
+        arec.record_dict(step, {k: v for k, v in info_host.items()
+                                if not isinstance(v, dict)
+                                and k not in rec.SKIP_KEYS})
+
     # NaN aborts are checked at flush points rather than per RHS call: a
     # per-call bool() would force a device->host sync and serialize the
     # pipeline (the reference exits on NaN inside the step, tdvp.py:136-141;
@@ -149,6 +165,14 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     # stage's update, so checking the step's final info flag covers every
     # stage.
     pending_nan = []
+
+    def norm_fn(v, S):
+        # adaptive S-metric: dense v S v when an SExp matrix exists, the
+        # matrix-free quadratic against the last stage's samples otherwise
+        # (large-P solvers -- TDVP.sexp_norm), plain 2-norm as last resort
+        if S is None and getattr(tdvp, "_sexp_matfree", False):
+            return float(tdvp.sexp_norm(v))
+        return s_metric_norm(v, S)
 
     def f(theta, t, key, intStep=0):
         with timings.section("tdvp_rhs"):
@@ -194,8 +218,9 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     # fixed-Heun steps into one lax.scan program. Only full batches run
     # batched (two compiled shapes: K and 1); any per-step host action --
     # verbose logging, 2-D grid plotting, profiler window, callbacks,
-    # checkpoint boundaries, the host-threaded MCMC chain state -- falls
-    # back to per-step dispatch.
+    # checkpoint boundaries -- falls back to per-step dispatch. MCMC
+    # workloads batch too: the Metropolis chain state threads through the
+    # scan carry (TDVP._heun_multi_impl).
     multi_ok = (
         cfg.steps_per_dispatch > 1
         and isinstance(stepper, FixedStepper)
@@ -249,6 +274,14 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                 rec.append_block("times", np.asarray(ts_l))
                 rec.append_dict_block({k: v for k, v in auxs.items()
                                        if not isinstance(v, dict)})
+                if arec is not None:
+                    # one device->host transfer per BATCH, then K records
+                    host = {k: np.asarray(v) for k, v in auxs.items()
+                            if not isinstance(v, dict)
+                            and not k.startswith("_")}
+                    for i in range(K):
+                        arec_record(n_step + i, ts_l[i],
+                                    {k: v[i] for k, v in host.items()})
                 t = ts_l[-1] + dts_l[-1]
                 dt = stepper.dt = dts_l[-1]
                 cadence = max(cfg.nan_check_every, 1)
@@ -270,7 +303,7 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         key, step_key = jax.random.split(key)
         with timings.section("step"):
             res = stepper.step(t, f, theta, step_key,
-                               normFunction=s_metric_norm)
+                               normFunction=norm_fn)
         theta, dt, info = res.y, res.dt_used, res.info
         pending_nan.append((info["nan"], t))
         state.set_parameters(theta)
@@ -279,6 +312,10 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         rec.append_dict({k: v for k, v in info.items()
                          if not isinstance(v, dict)})
         rec.append("dist_params", state.params["latent"]["dist_params"])
+        if arec is not None:
+            arec_record(n_step, t, info)
+            arec.record("dist_params", n_step,
+                        state.params["latent"]["dist_params"])
 
         if cfg.verbose:
             check_nan()
@@ -327,6 +364,9 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     if profiling:
         jax.profiler.stop_trace()
     state.set_parameters(theta)  # sync after batched steps (no-op otherwise)
+    if arec is not None:
+        arec.close()  # flush + join the writer thread (abort paths close
+        # via AsyncRecorder.__del__)
     check_nan()
     rec.flush()
     if wdir and is_coordinator():
@@ -349,18 +389,27 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the workdir's latest checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--async-recorder", action="store_true",
+                   help="also stream per-step metrics through the native "
+                        "C++ async recorder into <workdir>/metrics.bin")
     p.add_argument("--solver", type=str, default=None,
                    choices=["auto", "eigh", "cholesky", "cg", "minsr"],
                    help="linear-solver strategy (TDVPConfig.solver_method)")
     p.add_argument("--gram-precision", type=str, default=None,
-                   choices=["highest", "high", "default"],
-                   help="MXU pass count for Gram/statistics matmuls")
+                   choices=["highest", "high", "default", "f64"],
+                   help="MXU pass count for Gram/statistics matmuls "
+                        "('f64': true-float64 contraction of the f32 "
+                        "gradients -- reference-grade residuals on TPU; "
+                        "pair with --precision tpu_f64stats)")
     p.add_argument("--gram-backend", type=str, default=None,
                    choices=["auto", "xla", "syrk"],
                    help="Gram contraction backend (syrk = triangle-only "
                         "Pallas kernel, kernels/syrk.py)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help=">0: stream samples through the stats in chunks")
+    p.add_argument("--host-solve", action="store_true",
+                   help="solve the regularized system on host in numpy f64 "
+                        "(the reference's default path, tdvp.py:60-64)")
     p.add_argument("--stepper", type=str, default=None,
                    choices=["fixed_heun", "fixed_euler", "adaptive_heun"])
     p.add_argument("--steps-per-dispatch", type=int, default=None,
@@ -411,6 +460,8 @@ def main(argv=None):
         overrides["resume"] = True
     if args.checkpoint_every:
         overrides["checkpoint_every"] = args.checkpoint_every
+    if args.async_recorder:
+        overrides["async_recorder"] = True
     if args.solver is not None:
         overrides["solver_method"] = args.solver
     if args.gram_precision is not None:
@@ -419,6 +470,8 @@ def main(argv=None):
         overrides["gram_backend"] = args.gram_backend
     if args.chunk_size is not None:
         overrides["chunk_size"] = args.chunk_size
+    if args.host_solve:
+        overrides["solve_on_device"] = False
     if args.stepper is not None:
         overrides["stepper"] = args.stepper
     if args.steps_per_dispatch is not None:

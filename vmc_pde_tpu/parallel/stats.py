@@ -32,7 +32,18 @@ PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
+    # "f64": cast the (already f32-rounded) per-sample gradients to f64 and
+    # contract in true float64 (emulated on TPU, ~an order of magnitude
+    # slower and 2x the operand HBM). The statistics S, F then agree to f64
+    # rounding and -- with an f64 solve -- the solver residual reaches the
+    # reference's 1e-12 grade ON DEVICE even though the compute path is
+    # f32 (the residual measures S/F/solve consistency, which all derive
+    # from the same f32 O). BASELINE.md "matched solver tolerances" item.
+    "f64": jax.lax.Precision.HIGHEST,
 }
+
+# operand dtype override per gram_precision mode (None = keep compute dtype)
+GRAM_OPERAND_DTYPE = {"f64": jnp.float64}
 
 
 def mean(data, axis=0):

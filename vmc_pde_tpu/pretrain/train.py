@@ -59,6 +59,9 @@ def train(
     workdir=None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    grid=None,
+    check_every: int = 50,
+    target_fun=None,
 ):
     """Fit state.flow to ``data`` (N, dim) by minimizing -E[log p]
     (train.py:37-59). Mutates state.params; returns the per-epoch losses.
@@ -66,7 +69,13 @@ def train(
     ``workdir`` + ``checkpoint_every`` persist {params, opt_state, epoch} as
     an orbax pytree checkpoint every N epochs (and at the end); ``resume``
     restores the latest one before training (the reference never persisted
-    pretrained weights, SURVEY.md section 5.4)."""
+    pretrained weights, SURVEY.md section 5.4).
+
+    ``grid`` (a utils.grid.Grid) enables the reference's periodic training
+    diagnostics (train.py:52-58): every ``check_every`` epochs the grid
+    quadrature of the model density is computed (should approach 1) and --
+    when ``workdir`` is set -- a density snapshot (plus a model-target diff
+    when ``target_fun`` is given) is saved as fit_epoch{N}.pdf."""
     flow = state.flow
     params = state.params
     opt = optax.adam(lr)
@@ -98,6 +107,40 @@ def train(
         upd, o = opt.update(grads, o, p)
         return optax.apply_updates(p, upd), o, loss
 
+    grid_integrals = []
+    if grid is not None:
+        coords = jnp.asarray(grid.coords, dtype=data.dtype)
+        bin_area = float(grid.bin_area)
+
+        @jax.jit
+        def _grid_integral(p):
+            lp = jax.vmap(flow.log_prob, in_axes=(None, 0))(p, coords)
+            return jnp.sum(bin_area * jnp.exp(lp))
+
+    def _periodic_check(epoch_done, params):
+        """Reference train.py:52-58: grid integral + density snapshot every
+        ``check_every`` epochs (plots to files instead of plt.show)."""
+        integral = float(_grid_integral(params))
+        grid_integrals.append((epoch_done, integral))
+        if verbose:
+            print(f"epoch {epoch_done}: grid integral {integral:.6f}")
+        if workdir is not None:
+            import os
+
+            import matplotlib.pyplot as plt
+
+            from ..viz.plots import plot_density, plot_diff
+
+            state.params = params
+            fig = plot_density(state, grid, proj=False)
+            fig.savefig(os.path.join(workdir, f"fit_epoch{epoch_done}.pdf"))
+            plt.close(fig)
+            if target_fun is not None:
+                fig = plot_diff(state, grid, target_fun)
+                fig.savefig(
+                    os.path.join(workdir, f"fit_diff_epoch{epoch_done}.pdf"))
+                plt.close(fig)
+
     n = data.shape[0] - data.shape[0] % batchsize
     losses = []
     for epoch in range(epoch0, epochs):
@@ -111,6 +154,8 @@ def train(
         losses.append(float(loss))
         if verbose:
             print(f"epoch {epoch}: loss {losses[-1]:.6f}")
+        if grid is not None and (epoch + 1) % max(check_every, 1) == 0:
+            _periodic_check(epoch + 1, params)
         if (workdir is not None and checkpoint_every
                 and (epoch + 1) % checkpoint_every == 0):
             save_pytree(workdir, "pretrain_ckpt",
@@ -121,6 +166,9 @@ def train(
         save_pytree(workdir, "pretrain_ckpt",
                     dict(params=params, opt_state=opt_state, epoch=epochs))
     state.params = params
+    if grid is not None:
+        # (epoch, integral) pairs of the periodic normalization checks
+        state.pretrain_grid_integrals = grid_integrals
     return losses
 
 

@@ -55,14 +55,16 @@ def radial_proposal(key, n_chains, dim, mcmc_info):
 
 @dataclasses.dataclass
 class MCSampleInfo:
-    """Acceptance bookkeeping (sampler.py:98-100)."""
+    """Acceptance bookkeeping (sampler.py:98-100). Counts may be lazy
+    device scalars (the fused path avoids per-dispatch host syncs); they
+    are only concretized when ``acceptance_rate`` is read."""
 
     num_proposed: int
     num_accepted: int
 
     @property
     def acceptance_rate(self):
-        return self.num_accepted / max(self.num_proposed, 1)
+        return float(self.num_accepted) / max(float(self.num_proposed), 1.0)
 
 
 def metropolis_chain(
@@ -73,6 +75,8 @@ def metropolis_chain(
     n_steps: int,
     mcmc_info,
     rw_scale=None,
+    constrain=None,
+    chain_major: bool = False,
 ):
     """Run all chains for n_steps Metropolis updates; returns samples of
     shape (n_steps * n_chains, dim), the final states, and acceptance counts.
@@ -84,8 +88,23 @@ def metropolis_chain(
     ratio is the same p(new)/p(old); use for latents with unbounded support
     where no covering ball exists (beyond the reference). lax.scan keeps the
     whole loop on-device.
+
+    ``constrain`` (optional): sharding annotation applied to the chain-state
+    carry each sweep -- with chains sharded over the ``dp`` mesh axis every
+    per-sweep op (proposal draw, target eval, accept) partitions over
+    devices with zero communication (the RNG is partitionable threefry; the
+    only collective is the final psum of acceptance counts). This is the
+    mesh-sharded replacement for the reference's pmap'd chain loop
+    (vmc_fluids/sampler.py:82). ``chain_major=True`` returns samples grouped
+    by chain (chain c's sweeps contiguous) instead of the reference's
+    sweep-major order: a chain-sharded (steps, chains) stack then reshapes
+    to a sample axis that is STILL contiguously dp-sharded, avoiding the
+    all-to-all a sweep-major merge would need. Sample statistics are
+    order-invariant, so either layout feeds TDVP identically.
     """
     n_chains, dim = init_states.shape
+    if constrain is not None:
+        init_states = constrain(init_states)
 
     def step(carry, _):
         states, key, n_acc = carry
@@ -103,12 +122,16 @@ def metropolis_chain(
         log_ratio = jax.vmap(log_prob)(proposals) - jax.vmap(log_prob)(states)
         accept = jax.random.uniform(k_acc, (n_chains,)) < jnp.exp(log_ratio)
         new_states = jnp.where(accept[:, None], proposals, states)
+        if constrain is not None:
+            new_states = constrain(new_states)
         n_acc = n_acc + jnp.sum(accept).astype(n_acc.dtype)
         return (new_states, key, n_acc), new_states
 
     (final_states, _, n_accepted), samples = jax.lax.scan(
         step, (init_states, key, jnp.zeros((), jnp.int32)), None, length=n_steps
     )
+    if chain_major:
+        samples = jnp.swapaxes(samples, 0, 1)
     samples = samples.reshape(n_steps * n_chains, dim)
     return samples, final_states, n_accepted
 
@@ -149,6 +172,13 @@ class Sampler:
 
     def __post_init__(self):
         self.exact = self.name in latent_mod.EXACT_NAMES
+        if not self.exact and self.n_chains % self.ctx.dp_size:
+            # round the chain count up to a multiple of the dp axis so the
+            # chain-state array shards evenly (same spirit as the
+            # reference's distribute_sampling LCM rounding,
+            # mpi_wrapper.py:68-110; budgets only ever grow)
+            d = self.ctx.dp_size
+            self.n_chains = -(-self.n_chains // d) * d
         if self.mcmc_info is None:
             self.mcmc_info = {"offset": jnp.zeros(self.dim), "bound": 0.25}
         if not self.exact and self.latent_log_prob is None:
@@ -178,6 +208,7 @@ class Sampler:
                              "independence proposal only")
         self._states = None
         self._mcmc_jit = None
+        self._rw_adapt_t = 0
         self.last_info: Optional[MCSampleInfo] = None
 
     # ------------------------------------------------------------------
@@ -198,6 +229,86 @@ class Sampler:
         ), n_total
 
     # ------------------------------------------------------------------
+    # Fused / mesh-sharded chain API: the chain loop as a pure function the
+    # TDVP programs trace INTO their own jit, with the chain state threaded
+    # through dispatches. Chains shard over the dp mesh axis; every sweep op
+    # partitions with zero communication (metropolis_chain docstring). The
+    # reference's counterpart is the pmap'd scan at vmc_fluids/sampler.py:82,
+    # which ran per-device chains but re-dispatched per sample() call.
+    # ------------------------------------------------------------------
+    @property
+    def supports_fused(self) -> bool:
+        """True when the chain can be traced into the TDVP step program:
+        every non-exact latent (the lax.scan chain loop is jnp-traceable).
+        The fused path always uses the scan chain -- eliminating per-stage
+        dispatches beats the standalone Pallas kernel's in-kernel win; the
+        kernel (kernels/metropolis.py) still serves standalone sample()
+        calls on TPU. Both paths share self._states, so mixing them keeps
+        one consistent chain."""
+        return not self.exact
+
+    def make_chain_fn(self):
+        """Pure (key, states, rw_scale, n_steps static) -> (samples, states,
+        n_accepted), chain-major samples, dp-sharded chain state."""
+        ctx = self.ctx
+        spec = ctx.samples_spec
+
+        def chain_fn(key, states, rw_scale, n_steps: int):
+            return metropolis_chain(
+                key,
+                states,
+                log_prob=self.latent_log_prob,
+                proposer=self.proposer,
+                n_steps=n_steps,
+                mcmc_info=self.mcmc_info,
+                rw_scale=rw_scale,
+                constrain=lambda s: ctx.constrain(s, spec),
+                chain_major=True,
+            )
+
+        return chain_fn
+
+    def ensure_chain_state(self, key):
+        """Host-side: initialize the chain-state array (plus burn-in sweeps)
+        on first use; returns the current (n_chains, dim) state."""
+        if self._states is None:
+            k_init, k_burn = jax.random.split(key)
+            self._states = jax.device_put(
+                self._init_states(k_init),
+                self.ctx.sharding(self.ctx.samples_spec),
+            )
+            if self.burn_in:
+                fn = jax.jit(self.make_chain_fn(),
+                             static_argnames=("n_steps",))
+                _, self._states, _ = fn(k_burn, self._states,
+                                        self.fused_rw_scale(),
+                                        n_steps=self.burn_in)
+        return self._states
+
+    def fused_rw_scale(self):
+        """Traced proposal scale for the fused path (None = independence)."""
+        if self.proposal_mode != "rw":
+            return None
+        return jnp.asarray(self.rw_scale, self.dtype)
+
+    def note_fused_acceptance(self, new_states, n_accepted, n_proposed):
+        """Absorb a fused dispatch's chain outputs: store the carried state,
+        update the acceptance bookkeeping (counts may stay lazy device
+        scalars -- no sync), and (rw mode) apply the same Robbins-Monro
+        scale adaptation as the per-call path."""
+        self._states = new_states
+        self.last_info = MCSampleInfo(
+            num_proposed=n_proposed, num_accepted=n_accepted
+        )
+        if self.proposal_mode == "rw" and self.rw_adapt:
+            err = self.last_info.acceptance_rate - self.rw_target_accept
+            self._rw_adapt_t += 1
+            gain = 2.0 / self._rw_adapt_t**0.7
+            self.rw_scale = float(
+                self.rw_scale * np.exp(np.clip(gain * err, -0.5, 0.5))
+            )
+
+    # ------------------------------------------------------------------
     def _init_states(self, key):
         states = self.proposer(key, self.n_chains, self.dim, self.mcmc_info)
         return states.astype(self.dtype)
@@ -210,12 +321,18 @@ class Sampler:
         if self.use_pallas:
             return self._sample_mcmc_pallas(k_run, n_total, n_steps)
         if self._mcmc_jit is None:
+            ctx = self.ctx
+            spec = ctx.samples_spec
             self._mcmc_jit = jax.jit(
                 partial(
                     metropolis_chain,
                     log_prob=self.latent_log_prob,
                     proposer=self.proposer,
                     mcmc_info=self.mcmc_info,
+                    # chains shard over dp even in the standalone path
+                    # (sweep-major sample order kept: burn-in trimming
+                    # below slices leading sweeps)
+                    constrain=lambda s: ctx.constrain(s, spec),
                 ),
                 static_argnames=("n_steps",),
             )
@@ -231,11 +348,16 @@ class Sampler:
             num_proposed=n_steps * self.n_chains, num_accepted=int(n_acc)
         )
         if rw is not None and self.rw_adapt:
-            # between-call log-scale update toward the target acceptance;
-            # clipped so one noisy call cannot blow the scale up/down
+            # Robbins-Monro log-scale update toward the target acceptance:
+            # the gain decays as t^-0.7 (summable-squares, non-summable), so
+            # the scale CONVERGES instead of oscillating around the target
+            # forever; clipped so one noisy call cannot blow the scale
+            # up/down
             err = self.last_info.acceptance_rate - self.rw_target_accept
+            self._rw_adapt_t += 1
+            gain = 2.0 / self._rw_adapt_t**0.7
             self.rw_scale = float(
-                self.rw_scale * np.exp(np.clip(2.0 * err, -0.5, 0.5))
+                self.rw_scale * np.exp(np.clip(gain * err, -0.5, 0.5))
             )
         return samples
 

@@ -111,7 +111,17 @@ class TDVPConfig:
     # path, Gram eigenvalue noise sits at ~eps * ev_max and must be cut.
     auto_tol_floor: bool = True
     compute_snr: bool = True      # record per-mode SNR diagnostics
-    compute_sexp: bool = False    # SExp metric for the adaptive stepper norm
+    compute_sexp: bool = False    # DENSE (P, P) SExp for the adaptive norm
+    # Adaptive-stepper S-metric source. "none": whatever compute_sexp says.
+    # "dense": the reference's (P, P) SExp matrix (= compute_sexp=True).
+    # "matfree": never form SExp -- evaluate the quadratic v^T SExp v
+    # directly as E[logp^2 (Obar v)^2] with Obar v a single jvp (forward)
+    # pass over the last stage's samples (see TDVP._sexp_quad): O(N P) per
+    # adaptive attempt instead of an O(N P^2) Gram per stage, and the ONLY
+    # option at large P where (P, P) is unaffordable (the round-3 item
+    # lifting the driver's adaptive+cg/minsr rejection). "auto": dense for
+    # the eigh solver (reference parity), matfree otherwise.
+    sexp_mode: str = "none"
     solve_on_device: bool = True  # False = host numpy f64 eigh (tdvp.py:60-64)
     chunk_size: int = 0           # >0: stream samples in chunks of this size
     observables: bool = True
@@ -261,7 +271,7 @@ def _solve_cg(O_c, e_c, cfg: TDVPConfig, precision):
     return update, F, lam_max, sv
 
 
-def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt):
+def _minsr_kernel_solve(T, e_c, cfg: TDVPConfig, sdt):
     """Kernel-space (minSR) spectral solve for the P >> N regime: the
     nonzero spectrum of S = Obar^T Obar / N coincides with eig(T)/N for the
     N x N kernel T = Obar Obar^T, and the minimum-norm solution of S u = F
@@ -279,10 +289,22 @@ def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt):
     Per-mode SNR without any P x P matrix: the parameter-space eigenvector
     is V_i = Obar^T W_i / sqrt(mu_i), so Obar V_i = sqrt(mu_i) W_i and
     V_i^T A V_i = (mu_i / N) sum_n e_n^2 W_{n,i}^2 -- elementwise in the
-    kernel eigenbasis. Returns (update, ev, snr)."""
-    n = O_c.shape[0]
-    T = jnp.matmul(O_c, O_c.T, precision=precision).astype(sdt)
-    mu, W = jnp.linalg.eigh(0.5 * (T + T.T))
+    kernel eigenbasis.
+
+    The solver residual and TDVP error are ALSO pure kernel-space forms
+    (u = Obar^T alpha): S u - F = Obar^T (T alpha - e_c) / n, so
+    ||S u - F||^2 = q(T alpha - e_c) / n^2 and ||F||^2 = q(e_c) / n^2 with
+    the quadratic q(v) = v^T T v; u^T S u = ||T alpha||^2 / n and
+    F . u = e_c^T T alpha / n. No P-dimensional vector is ever needed for
+    the diagnostics -- the enabler of the streaming path, where the (N, P)
+    O matrix never materializes.
+
+    ``T``: raw N x N kernel (any float dtype; symmetrized here).
+    Returns (alpha (N,) sdt, ev, snr, residual, tdvp_quad) where
+    tdvp_quad = u^T S u - 2 F . u (caller divides by E[Eloc^2])."""
+    n = e_c.shape[0]
+    T_s = 0.5 * (T + T.T).astype(sdt)
+    mu, W = jnp.linalg.eigh(T_s)
     ev = mu / n
     e_s = e_c.astype(sdt)
     _HI = jax.lax.Precision.HIGHEST
@@ -296,20 +318,43 @@ def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt):
 
     regularizer = soft_cutoff(ratio, cfg.svd_tol)
 
-    VtF = jnp.sqrt(jnp.maximum(mu, 0.0)) * Wte / n
-    rho_var = jnp.maximum(
-        jnp.abs((mu / n) * jnp.matmul(e_s**2, W**2, precision=_HI)
-                - VtF**2),
-        jnp.finfo(VtF.dtype).tiny,
-    )
-    snr = jnp.sqrt(jnp.abs(n * VtF**2 / rho_var))
-    if cfg.use_snr:
-        regularizer = regularizer * soft_cutoff(snr, cfg.snr_tol)
+    snr = None
+    if cfg.compute_snr or cfg.use_snr:
+        VtF = jnp.sqrt(jnp.maximum(mu, 0.0)) * Wte / n
+        rho_var = jnp.maximum(
+            jnp.abs((mu / n) * jnp.matmul(e_s**2, W**2, precision=_HI)
+                    - VtF**2),
+            jnp.finfo(VtF.dtype).tiny,
+        )
+        snr = jnp.sqrt(jnp.abs(n * VtF**2 / rho_var))
+        if cfg.use_snr:
+            regularizer = regularizer * soft_cutoff(snr, cfg.snr_tol)
 
     alpha = jnp.matmul(W, inv_mu * regularizer * Wte, precision=_HI)
+
+    Ta = jnp.matmul(T_s, alpha, precision=_HI)
+    tiny = jnp.finfo(sdt).tiny
+
+    def q(v):
+        return jnp.maximum(v @ jnp.matmul(T_s, v, precision=_HI), 0.0)
+
+    residual = jnp.sqrt(q(Ta - e_s) / jnp.maximum(q(e_s), tiny))
+    u_S_u = (Ta @ Ta) / n
+    F_u = (e_s @ Ta) / n
+    tdvp_quad = u_S_u - 2.0 * F_u
+    return alpha, ev, snr, residual, tdvp_quad
+
+
+def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt):
+    """Direct (materialized-O) minSR: form T on the MXU, solve in kernel
+    space, push alpha back through O (update = Obar^T alpha). Returns
+    (update, ev, snr, residual, tdvp_quad); see _minsr_kernel_solve."""
+    T = jnp.matmul(O_c, O_c.T, precision=precision)
+    alpha, ev, snr, residual, tdvp_quad = _minsr_kernel_solve(
+        T, e_c, cfg, sdt)
     update = jnp.matmul(alpha.astype(O_c.dtype), O_c,
                         precision=precision).astype(sdt)
-    return update, ev, snr
+    return update, ev, snr, residual, tdvp_quad
 
 
 def _ball_volume(dim: int, radius: float) -> float:
@@ -357,7 +402,12 @@ class TDVP:
             self.n_samples = -(-self.n_samples // step) * step
 
         if cfg.auto_tol_floor:
-            eps = float(jnp.finfo(self.precision.compute).eps)
+            # the floor tracks the dtype the STATISTICS are contracted in:
+            # gram_precision="f64" restores the reference's raw 1e-11/1e-14
+            # tolerances even on an f32 compute path
+            stat_dt = stats.GRAM_OPERAND_DTYPE.get(
+                cfg.gram_precision, self.precision.compute)
+            eps = float(jnp.finfo(stat_dt).eps)
             cfg = dataclasses.replace(
                 cfg,
                 svd_tol=max(cfg.svd_tol, 64.0 * eps),
@@ -382,12 +432,20 @@ class TDVP:
         if cfg.eloc_clip and 0 < cfg.chunk_size:
             raise ValueError("eloc_clip needs the direct stats path "
                              "(global median); use chunk_size=0")
-        if method in ("cg", "minsr") and cfg.chunk_size:
-            raise ValueError(f"solver_method={method!r} works on the "
-                             "materialized O matrix; use chunk_size=0")
+        if method == "cg" and cfg.chunk_size:
+            raise ValueError("solver_method='cg' works on the materialized "
+                             "O matrix; use chunk_size=0")
         if method in ("cg", "minsr") and not cfg.solve_on_device:
             raise ValueError(f"solver_method={method!r} runs on device only")
         self.solver_method = method
+        if cfg.sexp_mode not in ("none", "auto", "dense", "matfree"):
+            raise ValueError(f"unknown sexp_mode {cfg.sexp_mode!r}")
+        self._sexp_matfree = cfg.sexp_mode == "matfree" or (
+            cfg.sexp_mode == "auto" and method != "eigh")
+        if cfg.sexp_mode == "dense" or (
+                cfg.sexp_mode == "auto" and method == "eigh"):
+            cfg = dataclasses.replace(cfg, compute_sexp=True)
+            self.cfg = cfg
         if method == "cg" and (cfg.compute_snr or cfg.use_snr
                                or cfg.compute_sexp):
             # matrix-free: no S, no spectrum, no SExp matrix
@@ -448,6 +506,14 @@ class TDVP:
             )
         else:
             self._use_syrk = cfg.gram_backend == "syrk"
+            if self._use_syrk and self.ctx.mesh.size > 1:
+                # the Pallas kernel has no SPMD partitioning: on a sharded
+                # mesh XLA would gather/replicate the (N, P) operand onto
+                # every device (or fail), exactly what 'auto' avoids
+                raise ValueError(
+                    "gram_backend='syrk' is a single-device kernel; use "
+                    "gram_backend='auto'/'xla' on multi-device meshes"
+                )
             if self._use_syrk and (
                     self.precision.compute != jnp.float32
                     or cfg.gram_precision != "high"):
@@ -464,6 +530,21 @@ class TDVP:
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
         self._hess_idx = equation.hessian_coords(self.flow.dim)
+
+        # Fused MCMC sampling: the Metropolis chain loop traces INTO the
+        # TDVP step programs with the chain state threaded through
+        # dispatches (dp-sharded chains, sampler.make_chain_fn). MCMC
+        # workloads then get the same fused heun_pair/attempt/multi-step
+        # dispatch as exact-latent ones. The reference re-dispatched a
+        # pmap'd scan per sample() call (vmc_fluids/sampler.py:79-86).
+        self._mcmc_fused = (not self.sampler.exact
+                            and self.sampler.supports_fused)
+        self._chain_fn = (self.sampler.make_chain_fn()
+                          if self._mcmc_fused else None)
+
+        # Matrix-free S-metric context of the latest rhs() call.
+        self._sexp_ctx = None
+        self._sexp_quad_jit = None
 
         # Diagnostics of the latest call (tdvp.py attribute contract).
         self.ev = None
@@ -541,6 +622,14 @@ class TDVP:
 
         cdt = self.precision.compute
         mp = stats.PRECISIONS[cfg.gram_precision]
+        gdt = stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision)
+        if gdt is not None:
+            # f64-grade statistics on an f32 compute path (stats.PRECISIONS
+            # "f64" docstring): contract the Gram/force in true float64
+            O_c = O_c.astype(gdt)
+            e_c = e_c.astype(gdt)
+            logp = logp.astype(gdt)
+            cdt = gdt
         F0 = jnp.matmul(e_c, O_c, precision=mp) / n
         if self._use_syrk:
             gram = lambda w=None: _syrk(O_c, w=w).astype(cdt) / n
@@ -589,6 +678,9 @@ class TDVP:
         P = self.n_params
         cdt = self.precision.compute
         mp = stats.PRECISIONS[cfg.gram_precision]
+        gdt = stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision)
+        if gdt is not None:
+            cdt = gdt  # chunk operands cast below; accumulators in f64
 
         # Pilot estimates from the first chunk: shift constants only --
         # exactness does not depend on them. The pilot batch is reused as
@@ -612,6 +704,11 @@ class TDVP:
                              else self._per_sample_batch(theta_c, xc, t))
             Os = O - c_O  # shifted
             es = eloc - c_E
+            if gdt is not None:
+                Os = Os.astype(gdt)
+                es = es.astype(gdt)
+                logp = logp.astype(gdt)
+                eloc = eloc.astype(gdt)
             upd = dict(
                 sum_O=carry["sum_O"] + jnp.sum(Os, axis=0),
                 sum_E=carry["sum_E"] + jnp.sum(es),
@@ -765,21 +862,37 @@ class TDVP:
     # ------------------------------------------------------------------
     # Fused right-hand side.
     # ------------------------------------------------------------------
-    def _rhs_impl(self, theta_c, t, key, z_ext, z_obs_ext, n: int, n_obs: int,
-                  with_obs: bool = True):
+    def _rhs_impl(self, theta_c, t, key, z_ext, z_obs_ext, chain_state,
+                  rw_scale, n: int, n_obs: int, with_obs: bool = True):
         """``with_obs=False`` skips the observables block: only the FIRST
         integrator stage's observables are ever recorded (Q10 pairing), so
         predictor/half-step stages skip the n_obs-sample entropy/moment
         pass entirely -- one wasted obs pass per fixed-Heun step and four
-        per adaptive attempt otherwise."""
+        per adaptive attempt otherwise.
+
+        ``chain_state`` (fused-MCMC mode): (n_chains, dim) Metropolis chain
+        ensemble carried across dispatches; the in-jit chain draw replaces
+        the latent_sample. The advanced state comes back in
+        aux["_chain_state"] with acceptance counts in aux["mcmc_*"].
+        ``rw_scale``: traced random-walk proposal scale (None =
+        independence proposals)."""
         cfg = self.cfg
         params = self._unravel(theta_c)
         k_sample, k_obs, k_int, k_spec = jax.random.split(key, 4)
 
         # SAMPLE: latent draw + inverse-flow push-forward (in-jit for exact
-        # latents; externally-supplied for the MCMC path).
+        # latents and fused-MCMC chains; externally-supplied otherwise).
+        mcmc = None
         if z_ext is None:
-            z = self.flow.latent_sample(k_sample, params, n, dtype=theta_c.dtype)
+            if chain_state is not None:
+                sweeps = n // self.sampler.n_chains
+                z, new_state, acc = self._chain_fn(
+                    k_sample, chain_state, rw_scale, sweeps)
+                mcmc = dict(state=new_state, rw=rw_scale, acc=acc,
+                            prop=sweeps * self.sampler.n_chains)
+            else:
+                z = self.flow.latent_sample(k_sample, params, n,
+                                            dtype=theta_c.dtype)
         else:
             z = z_ext
         z = self.ctx.constrain(z, self.ctx.samples_spec)
@@ -790,10 +903,10 @@ class TDVP:
         # Gram-free paths: the (P, P) matrix never materializes.
         if self.solver_method == "cg":
             return self._rhs_cg(theta_c, t, x, params, k_obs, k_int,
-                                z_obs_ext, n, n_obs, with_obs)
+                                z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
         if self.solver_method == "minsr":
             return self._rhs_minsr(theta_c, t, x, params, k_obs, k_int,
-                                   z_obs_ext, n, n_obs, with_obs)
+                                   z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
 
         # STATS: Eloc, force, Gram (+SNR/SExp second moments).
         if cfg.chunk_size and cfg.chunk_size < n:
@@ -871,34 +984,30 @@ class TDVP:
         aux["max_grad"] = jnp.max(st["eloc"])
         if st["SExp"] is not None:
             aux["SExp"] = st["SExp"]
+        if self._sexp_matfree:
+            aux["_x"], aux["_logp"] = x, st["logp"]
 
         # OBSERVABLES on the (possibly larger) observable budget
         # (tdvp.py:130-134: resample only when n_obs > n).
-        if cfg.observables and with_obs:
-            if n_obs > n:
-                if z_obs_ext is None:
-                    z_o = self.flow.latent_sample(
-                        k_obs, params, n_obs, dtype=theta_c.dtype
-                    )
-                else:
-                    z_o = z_obs_ext
-                z_o = self.ctx.constrain(z_o, self.ctx.samples_spec)
-                x_o, logp_o = jax.vmap(self.flow.push, in_axes=(None, 0))(
-                    params, z_o
-                )
-            else:
-                x_o, logp_o = x, st["logp"]
-            aux["_params"] = params
-            aux = self._observables(x_o, logp_o, k_int, aux)
-            del aux["_params"]
-
+        aux = self._obs_tail(aux, x, st["logp"], params, k_obs, k_int,
+                             z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
+        self._mcmc_finish(aux, mcmc)
         aux["nan"] = jnp.any(
             jnp.isnan(aux["update"] if "update" in aux else F0)
         )
         return aux
 
+    @staticmethod
+    def _mcmc_finish(aux, mcmc):
+        """Attach the advanced chain state + acceptance counts to aux
+        (popped host-side by the dispatch wrappers; counts are recorded)."""
+        if mcmc is not None:
+            aux["_chain_state"] = mcmc["state"]
+            aux["mcmc_accepted"] = jnp.asarray(mcmc["acc"], jnp.int32)
+            aux["mcmc_proposed"] = jnp.asarray(mcmc["prop"], jnp.int32)
+
     def _rhs_cg(self, theta_c, t, x, params, k_obs, k_int, z_obs_ext,
-                n, n_obs, with_obs: bool = True):
+                n, n_obs, with_obs: bool = True, mcmc=None):
         """Matrix-free RHS: per-sample batch -> Jacobi-preconditioned CG on
         the Tikhonov normal equations, never forming S. O(N P) memory and
         O(iters * N P) flops instead of O(N P^2) -- the scaling path for
@@ -912,6 +1021,10 @@ class TDVP:
         O_c = O - stats.mean(O, axis=0)
 
         mp = stats.PRECISIONS[cfg.gram_precision]
+        gdt = stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision)
+        if gdt is not None:
+            O_c = O_c.astype(gdt)
+            e_c = e_c.astype(gdt)
         update, F0, lam_max, sv = _solve_cg(O_c, e_c, cfg, mp)
 
         # residual and TDVP error via matvecs (S0 u = sv(u)). The residual
@@ -930,22 +1043,36 @@ class TDVP:
             eloc_abs_mean=stats.mean(jnp.abs(eloc)),
             eloc_var=stats.variance(eloc), max_grad=jnp.max(eloc),
         )
+        if self._sexp_matfree:
+            aux["_x"], aux["_logp"] = x, logp
 
         aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
-                             z_obs_ext, n, n_obs, with_obs)
+                             z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
+        self._mcmc_finish(aux, mcmc)
         aux["nan"] = jnp.any(jnp.isnan(update))
         return aux
 
     def _obs_tail(self, aux, x, logp, params, k_obs, k_int, z_obs_ext,
-                  n, n_obs, with_obs: bool = True):
+                  n, n_obs, with_obs: bool = True, mcmc=None):
         """Shared observables block (tdvp.py:130-134: resample only when
-        n_obs > n)."""
+        n_obs > n). In fused-MCMC mode the extra observable budget CONTINUES
+        the Metropolis chain (the reference draws a fresh sample() call,
+        tdvp.py:130-134 -- also a chain continuation, since its sampler
+        carries chain state across calls)."""
         cfg = self.cfg
         if cfg.observables and with_obs:
             if n_obs > n:
                 if z_obs_ext is None:
-                    z_o = self.flow.latent_sample(
-                        k_obs, params, n_obs, dtype=x.dtype)
+                    if mcmc is not None:
+                        sweeps = n_obs // self.sampler.n_chains
+                        z_o, new_state, acc = self._chain_fn(
+                            k_obs, mcmc["state"], mcmc["rw"], sweeps)
+                        mcmc["state"] = new_state
+                        mcmc["acc"] = mcmc["acc"] + acc
+                        mcmc["prop"] += sweeps * self.sampler.n_chains
+                    else:
+                        z_o = self.flow.latent_sample(
+                            k_obs, params, n_obs, dtype=x.dtype)
                 else:
                     z_o = z_obs_ext
                 z_o = self.ctx.constrain(z_o, self.ctx.samples_spec)
@@ -959,44 +1086,139 @@ class TDVP:
         return aux
 
     def _rhs_minsr(self, theta_c, t, x, params, k_obs, k_int, z_obs_ext,
-                   n, n_obs, with_obs: bool = True):
+                   n, n_obs, with_obs: bool = True, mcmc=None):
         """Kernel-space RHS (solver_method='minsr'): per-sample batch ->
         N x N kernel eigensolve -> minimum-norm update. The (P, P) Gram
         never materializes -- the scaling path for P >> N with FULL
         spectral observability (see _solve_minsr)."""
         cfg = self.cfg
-        logp, eloc, O = self._per_sample_batch(theta_c, x, t)
-        eloc = self._maybe_clip_eloc(eloc)
-        O = self.ctx.constrain(O, self.ctx.osample_spec)
-        eloc_mean = stats.mean(eloc)
-        e_c = eloc - eloc_mean
-        O_c = O - stats.mean(O, axis=0)
-
         mp = stats.PRECISIONS[cfg.gram_precision]
         sdt = self.precision.solve
-        update, ev, snr = _solve_minsr(O_c, e_c, cfg, mp, sdt)
 
-        # residual/error against the unregularized S via O-matvecs, matching
-        # the other paths and the reference (tdvp.py:93-94)
-        u_c = update.astype(O_c.dtype)
-        s_u = jnp.matmul(
-            jnp.matmul(O_c, u_c, precision=mp), O_c, precision=mp
-        ).astype(sdt) / n
-        F0 = jnp.matmul(e_c, O_c, precision=mp).astype(sdt) / n
-        residual = jnp.linalg.norm(s_u - F0) / jnp.linalg.norm(F0)
+        if cfg.chunk_size and cfg.chunk_size < n:
+            logp, eloc, update, ev, snr, residual, tdvp_quad = \
+                self._minsr_chunked(theta_c, t, x)
+            eloc_mean = stats.mean(eloc)
+        else:
+            logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+            eloc = self._maybe_clip_eloc(eloc)
+            O = self.ctx.constrain(O, self.ctx.osample_spec)
+            eloc_mean = stats.mean(eloc)
+            e_c = eloc - eloc_mean
+            O_c = O - stats.mean(O, axis=0)
+            gdt = stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision)
+            if gdt is not None:
+                O_c = O_c.astype(gdt)
+                e_c = e_c.astype(gdt)
+            update, ev, snr, residual, tdvp_quad = _solve_minsr(
+                O_c, e_c, cfg, mp, sdt)
+
+        # residual and TDVP error come from the kernel-space identities
+        # (see _minsr_kernel_solve docstring), equivalent to the other
+        # paths' forms against the unregularized S (tdvp.py:93-94)
         eloc_sq_mean = stats.mean(eloc**2).astype(sdt)
-        tdvp_error = 1.0 + (update @ s_u - 2.0 * F0 @ update) / eloc_sq_mean
+        tdvp_error = 1.0 + tdvp_quad / eloc_sq_mean
 
         aux = dict(
             update=update, solver_res=residual, tdvp_error=tdvp_error,
-            ev=ev, snr=snr, eloc_mean=eloc_mean,
+            ev=ev, snr=snr if snr is not None else jnp.zeros_like(ev),
+            eloc_mean=eloc_mean,
             eloc_abs_mean=stats.mean(jnp.abs(eloc)),
             eloc_var=stats.variance(eloc), max_grad=jnp.max(eloc),
         )
+        if self._sexp_matfree:
+            aux["_x"], aux["_logp"] = x, logp
         aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
-                             z_obs_ext, n, n_obs, with_obs)
+                             z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
+        self._mcmc_finish(aux, mcmc)
         aux["nan"] = jnp.any(jnp.isnan(update))
         return aux
+
+    def _minsr_chunked(self, theta_c, t, x):
+        """Streaming minSR: the (N, P) O matrix never materializes beyond
+        two (chunk, P) blocks -- the beyond-HBM path for huge parameter
+        counts (N x P at N=16k, P=272k is 17 GB in f32; two 4k chunks are
+        4.5 GB). Three passes over sample chunks:
+
+          1. means: accumulate the parameter-gradient mean (one P-vector)
+             plus the per-sample (logp, Eloc) scalars;
+          2. kernel assembly: T[i, j] = G_i G_j^T for chunk pairs j <= i
+             with G_k = O_k - mean(O) recomputed per pair. The price of
+             never storing O is ~(n_chunks + 1)/2 x the gradient work
+             (n_chunks (n_chunks + 3) / 2 + n_chunks chunk-gradient
+             evaluations incl. passes 1+3, vs n_chunks materialized) --
+             pick the LARGEST chunk that fits so the factor stays ~2;
+          3. update: u = Obar^T alpha accumulated as sum_i G_i^T alpha_i.
+
+        All solver diagnostics are kernel-space (_minsr_kernel_solve), so
+        no P-sized array other than mean(O) and the final update exists.
+        Returns (logp, eloc, update, ev, snr, residual, tdvp_quad)."""
+        cfg = self.cfg
+        n, d = x.shape
+        c = cfg.chunk_size
+        if n % c:
+            raise ValueError(
+                f"sample budget {n} is not a multiple of chunk_size {c}"
+            )
+        n_chunks = n // c
+        P = self.n_params
+        cdt = self.precision.compute
+        mp = stats.PRECISIONS[cfg.gram_precision]
+        gdt = stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision)
+        if gdt is not None:
+            cdt = gdt  # f64 accumulators; chunk operands promote via o_mean
+        sdt = self.precision.solve
+        xs = x.reshape(n_chunks, c, d)
+
+        # pass 1: gradient mean + per-sample scalars
+        def mean_chunk(carry, xc):
+            logp, eloc, O = self._per_sample_batch(theta_c, xc, t)
+            return carry + jnp.sum(O, axis=0).astype(cdt), (logp, eloc)
+
+        sum_O, (logps, elocs) = jax.lax.scan(
+            mean_chunk, jnp.zeros((P,), cdt), xs)
+        o_mean = sum_O / n
+        logp = logps.reshape(n)
+        eloc = elocs.reshape(n)
+        e_c = eloc - stats.mean(eloc)
+
+        def centered_grads(xc):
+            _, _, O = self._per_sample_batch(theta_c, xc, t)
+            return O - o_mean
+
+        def chunk_at(i):
+            return jax.lax.dynamic_index_in_dim(xs, i, 0, keepdims=False)
+
+        # pass 2: pairwise kernel blocks (G_i pinned across the inner loop)
+        def outer(i, T):
+            G_i = centered_grads(chunk_at(i))
+            blk = jnp.matmul(G_i, G_i.T, precision=mp).astype(cdt)
+            T = jax.lax.dynamic_update_slice(T, blk, (i * c, i * c))
+
+            def inner(j, T):
+                G_j = centered_grads(chunk_at(j))
+                blk = jnp.matmul(G_i, G_j.T, precision=mp).astype(cdt)
+                T = jax.lax.dynamic_update_slice(T, blk, (i * c, j * c))
+                T = jax.lax.dynamic_update_slice(T, blk.T, (j * c, i * c))
+                return T
+
+            return jax.lax.fori_loop(0, i, inner, T)
+
+        T = jax.lax.fori_loop(0, n_chunks, outer, jnp.zeros((n, n), cdt))
+
+        alpha, ev, snr, residual, tdvp_quad = _minsr_kernel_solve(
+            T, e_c, cfg, sdt)
+
+        # pass 3: u = sum_i G_i^T alpha_i
+        a_cs = alpha.astype(cdt).reshape(n_chunks, c)
+
+        def upd_chunk(carry, inp):
+            xc, ac = inp
+            G = centered_grads(xc)
+            return carry + jnp.matmul(ac, G, precision=mp).astype(cdt), None
+
+        u, _ = jax.lax.scan(upd_chunk, jnp.zeros((P,), cdt), (xs, a_cs))
+        return logp, eloc, u.astype(sdt), ev, snr, residual, tdvp_quad
 
     # ------------------------------------------------------------------
     def rhs(self, theta, t, key, intStep: int = 0):
@@ -1011,22 +1233,32 @@ class TDVP:
         # one with 5 * attempt + stage -- stage 0 <=> intStep % 5 == 0.
         with_obs = intStep % 5 == 0
 
-        z_ext = z_obs_ext = None
+        z_ext = z_obs_ext = cs = rw = None
         if not self.sampler.exact:
-            params = self._unravel(theta_c)
-            k_s, k_o, key = jax.random.split(key, 3)
-            z_ext, _ = self.sampler.sample(
-                k_s, self.flow, params, self.n_samples
-            )
-            if with_obs and self.n_samples_obs > self.n_samples:
-                z_obs_ext, _ = self.sampler.sample(
-                    k_o, self.flow, params, self.n_samples_obs
+            if self._mcmc_fused:
+                cs, rw = self._fused_mcmc_inputs(key)
+            else:
+                params = self._unravel(theta_c)
+                k_s, k_o, key = jax.random.split(key, 3)
+                z_ext, _ = self.sampler.sample(
+                    k_s, self.flow, params, self.n_samples
                 )
+                if with_obs and self.n_samples_obs > self.n_samples:
+                    z_obs_ext, _ = self.sampler.sample(
+                        k_o, self.flow, params, self.n_samples_obs
+                    )
 
         aux = self._fused(
-            theta_c, t, key, z_ext, z_obs_ext,
+            theta_c, t, key, z_ext, z_obs_ext, cs, rw,
             n=self.n_samples, n_obs=self.n_samples_obs, with_obs=with_obs,
         )
+        aux = self._absorb_mcmc(aux)
+        if self._sexp_matfree:
+            # keep this stage's (theta, samples) for sexp_norm: after the
+            # integrator's final stage call this IS the last stage, matching
+            # the dense path's f.SExp semantics (stepper.py:71)
+            aux = dict(aux)
+            self._sexp_ctx = (theta_c, aux.pop("_x"), aux.pop("_logp"))
 
         if not self.cfg.solve_on_device:
             aux = dict(aux)
@@ -1054,53 +1286,87 @@ class TDVP:
     # returned INCREMENT dy is added to the master-f64 parameters on host,
     # so integration accuracy is unchanged (steppers.py contract).
     # ------------------------------------------------------------------
-    def _stage(self, th, t, key, i, n, n_obs, with_obs=True):
+    def _stage(self, th, t, key, i, n, n_obs, with_obs=True,
+               chain_state=None, rw_scale=None):
         # fold_in(key, intStep) matches rhs()'s per-call key derivation
         # exactly, so fused and per-call integration are RNG-identical
         aux = self._rhs_impl(th, t, jax.random.fold_in(key, i),
-                             None, None, n, n_obs, with_obs)
+                             None, None, chain_state, rw_scale,
+                             n, n_obs, with_obs)
         return aux["update"].astype(th.dtype), aux
 
-    def _heun_pair_impl(self, theta_c, t, dt, key, n: int, n_obs: int):
+    @staticmethod
+    def _chain_handoff(aux, into=None):
+        """Pop a stage's chain state/counts; fold counts into ``into``."""
+        cs = aux.pop("_chain_state", None)
+        if cs is not None and into is not None:
+            into["mcmc_accepted"] = (into["mcmc_accepted"]
+                                     + aux["mcmc_accepted"])
+            into["mcmc_proposed"] = (into["mcmc_proposed"]
+                                     + aux["mcmc_proposed"])
+        return cs
+
+    def _heun_pair_impl(self, theta_c, t, dt, key, chain_state, rw_scale,
+                        n: int, n_obs: int):
         """Fixed-Heun pair: dy = dt/2 (k0 + k1) (stepper.py:133-139).
 
         The returned aux is the FIRST stage's -- observables at the state at
         time t, matching the driver's time pairing and the adaptive path's
         convention (fixed quirk Q10; see FixedStepper.step).  The NaN flag is
-        OR-ed across both stages."""
-        k0, aux = self._stage(theta_c, t, key, 0, n, n_obs)
+        OR-ed across both stages. In fused-MCMC mode the chain state threads
+        stage 0 -> stage 1 and the final state/summed counts ride aux."""
+        k0, aux = self._stage(theta_c, t, key, 0, n, n_obs,
+                              chain_state=chain_state, rw_scale=rw_scale)
+        aux = dict(aux)
+        cs = self._chain_handoff(aux)
         # the predictor stage's observables are never recorded (Q10):
         # skip its n_obs entropy/moment pass entirely
         k1, aux1 = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs,
-                               with_obs=False)
-        aux = dict(aux)
+                               with_obs=False, chain_state=cs,
+                               rw_scale=rw_scale)
         aux["nan"] = aux["nan"] | aux1["nan"]
+        cs = self._chain_handoff(aux1, into=aux)
+        if cs is not None:
+            aux["_chain_state"] = cs
         return 0.5 * dt * (k0 + k1), aux
 
-    def _heun_attempt_impl(self, theta_c, t, dt, key, off, n: int,
-                           n_obs: int):
+    def _heun_attempt_impl(self, theta_c, t, dt, key, off, chain_state,
+                           rw_scale, n: int, n_obs: int):
         """One embedded-adaptive-Heun attempt (stepper.py:6-91): full step
         vs two half steps, error in the S-metric of the LAST stage's SExp
         (main.py:24-26 / stepper.py:71 semantics). ``off`` = 5 * attempt,
         the per-call intStep base. Returns (dy1, err, aux)."""
-        k0, aux0 = self._stage(theta_c, t, key, off + 0, n, n_obs)
+        k0, aux0 = self._stage(theta_c, t, key, off + 0, n, n_obs,
+                               chain_state=chain_state, rw_scale=rw_scale)
+        aux0 = dict(aux0)
+        cs = self._chain_handoff(aux0)
         y1 = theta_c + dt * k0
         # only the first stage's observables are recorded (Q10): the four
         # predictor/half-step stages skip their n_obs passes
         k1, a1 = self._stage(y1, t + dt, key, off + 1, n, n_obs,
-                             with_obs=False)
+                             with_obs=False, chain_state=cs,
+                             rw_scale=rw_scale)
+        cs = self._chain_handoff(a1, into=aux0)
         dy0 = 0.5 * dt * (k0 + k1)
 
         yh = theta_c + 0.5 * dt * k0
         k10, a2 = self._stage(yh, t + 0.5 * dt, key, off + 2, n, n_obs,
-                              with_obs=False)
+                              with_obs=False, chain_state=cs,
+                              rw_scale=rw_scale)
+        cs = self._chain_handoff(a2, into=aux0)
         dy1 = 0.25 * dt * (k0 + k10)
         y2 = theta_c + dy1
         k01, a3 = self._stage(y2, t + 0.5 * dt, key, off + 3, n, n_obs,
-                              with_obs=False)
+                              with_obs=False, chain_state=cs,
+                              rw_scale=rw_scale)
+        cs = self._chain_handoff(a3, into=aux0)
         y3 = y2 + 0.5 * dt * k01
         k11, aux_last = self._stage(y3, t + dt, key, off + 4, n, n_obs,
-                                    with_obs=False)
+                                    with_obs=False, chain_state=cs,
+                                    rw_scale=rw_scale)
+        cs = self._chain_handoff(aux_last, into=aux0)
+        if cs is not None:
+            aux0["_chain_state"] = cs
         dy1 = dy1 + 0.25 * dt * (k01 + k11)
 
         # Per-call parity: the recorded info is the FIRST stage's (the state
@@ -1108,9 +1374,10 @@ class TDVP:
         # S-metric uses the LAST stage's SExp (the reference reads f.SExp
         # after all calls, stepper.py:71). NaN flags from ALL stages are
         # OR-ed in so a final-step late-stage NaN still aborts the run.
-        aux0 = dict(aux0)
         aux0["nan"] = (aux0["nan"] | a1["nan"] | a2["nan"] | a3["nan"]
                        | aux_last["nan"])
+        aux0.pop("_x", None)
+        aux0.pop("_logp", None)
         diff = dy1 - dy0
         sexp = aux_last.get("SExp")
         if sexp is not None:
@@ -1118,11 +1385,17 @@ class TDVP:
             d = diff.astype(sdt)
             err = d @ jnp.matmul(sexp.astype(sdt), d,
                                  precision=jax.lax.Precision.HIGHEST)
+        elif self._sexp_matfree:
+            # matrix-free S-metric on the LAST stage's samples at its own
+            # parameter point y3 -- same semantics as the dense SExp
+            err = self._sexp_quad(y3, aux_last["_x"], aux_last["_logp"],
+                                  diff)
         else:
             err = jnp.linalg.norm(diff)
         return dy1, err, aux0
 
-    def _heun_multi_impl(self, theta_m, ts, dts, keys, n: int, n_obs: int):
+    def _heun_multi_impl(self, theta_m, ts, dts, keys, chain_state, rw_scale,
+                         n: int, n_obs: int):
         """K fixed-Heun steps in ONE dispatch: a lax.scan over (t, dt, key)
         triples carrying the master-precision parameter vector.
 
@@ -1137,17 +1410,48 @@ class TDVP:
         added post-step (the driver records it after set_parameters)."""
         compute = self.precision.compute
 
-        def body(theta, inp):
+        def body(carry, inp):
+            theta, cs = carry
             t, dt, k = inp
             dy, aux = self._heun_pair_impl(theta.astype(compute), t, dt, k,
-                                           n, n_obs)
+                                           cs, rw_scale, n, n_obs)
+            cs = aux.pop("_chain_state", cs)
             theta = theta + jnp.asarray(dy, dtype=theta.dtype)
             aux = dict(aux)
             aux["dist_params"] = self._unravel(
                 theta.astype(compute))["latent"]["dist_params"]
-            return theta, aux
+            return (theta, cs), aux
 
-        return jax.lax.scan(body, theta_m, (ts, dts, keys))
+        (theta_f, cs_f), auxs = jax.lax.scan(
+            body, (theta_m, chain_state), (ts, dts, keys))
+        return theta_f, cs_f, auxs
+
+    def _fused_mcmc_inputs(self, key):
+        """(chain_state, rw_scale) for a fused dispatch (None, None when the
+        sampler is exact / not fused)."""
+        if not self._mcmc_fused:
+            return None, None
+        cs = self.sampler.ensure_chain_state(jax.random.fold_in(key, 997))
+        return cs, self.sampler.fused_rw_scale()
+
+    def _absorb_mcmc(self, aux, chain_state=None):
+        """Host-side tail of a fused dispatch: hand the advanced chain state
+        + acceptance counts back to the sampler (Robbins-Monro rw
+        adaptation happens there, BETWEEN dispatches -- within one program
+        the proposal scale is a constant, keeping each dispatch a valid
+        fixed-kernel MH chain)."""
+        cs = aux.pop("_chain_state", None) if isinstance(aux, dict) else None
+        if cs is None:
+            cs = chain_state
+        if cs is not None:
+            # counts stay device arrays (stacked from heun_multi: summed
+            # lazily) -- no host sync here; MCSampleInfo converts on read
+            acc = aux["mcmc_accepted"]
+            prop = aux["mcmc_proposed"]
+            if getattr(acc, "ndim", 0):
+                acc, prop = acc.sum(), prop.sum()
+            self.sampler.note_fused_acceptance(cs, acc, prop)
+        return aux
 
     def heun_multi(self, theta, ts, dts, keys):
         """Run ``len(ts)`` fixed-Heun steps in one dispatch (requires
@@ -1160,10 +1464,12 @@ class TDVP:
         # never promote the f32 stages
         ts = jnp.asarray(ts, dtype=self.precision.compute)
         dts = jnp.asarray(dts, dtype=self.precision.compute)
-        theta_f, auxs = self._fused_multi(
-            theta_m, ts, dts, keys,
+        cs, rw = self._fused_mcmc_inputs(keys[0])
+        theta_f, cs_f, auxs = self._fused_multi(
+            theta_m, ts, dts, keys, cs, rw,
             n=self.n_samples, n_obs=self.n_samples_obs,
         )
+        auxs = self._absorb_mcmc(auxs, chain_state=cs_f)
         # deliberately NOT updating the per-call diagnostic attributes
         # (ev/snr/solverResidual/...): slicing the last row of ~15 stacked
         # arrays enqueues that many device ops per batch, which on
@@ -1188,16 +1494,20 @@ class TDVP:
     @property
     def fused_steps_available(self) -> bool:
         """The fused pair/attempt sample AND solve in-jit, so they need an
-        exact latent and the on-device solve; the MCMC path keeps per-stage
-        dispatch (its chain state threads through the host), and the host
-        f64 eigensolve path returns stats instead of an in-jit update."""
-        return self.sampler.exact and self.cfg.solve_on_device
+        in-jit sampling path (exact latent OR a fused Metropolis chain with
+        its state threaded through dispatches) and the on-device solve; the
+        host f64 eigensolve path returns stats instead of an in-jit
+        update."""
+        return ((self.sampler.exact or self._mcmc_fused)
+                and self.cfg.solve_on_device)
 
     def heun_pair(self, theta, t, dt, key):
         """(dy, aux) for a whole fixed-Heun step in one dispatch."""
         theta_c = jnp.asarray(theta, dtype=self.precision.compute)
-        dy, aux = self._fused_pair(theta_c, t, dt, key,
+        cs, rw = self._fused_mcmc_inputs(key)
+        dy, aux = self._fused_pair(theta_c, t, dt, key, cs, rw,
                                    n=self.n_samples, n_obs=self.n_samples_obs)
+        aux = self._absorb_mcmc(aux)
         return self._finish_fused(dy, aux)
 
     def heun_attempt(self, theta, t, dt, key, attempt: int = 0):
@@ -1205,10 +1515,12 @@ class TDVP:
         ``attempt`` decorrelates the RNG across retries (the per-call path's
         intStep = 5 * attempt + stage contract)."""
         theta_c = jnp.asarray(theta, dtype=self.precision.compute)
+        cs, rw = self._fused_mcmc_inputs(key)
         dy1, err, aux = self._fused_attempt(
-            theta_c, t, dt, key, 5 * attempt,
+            theta_c, t, dt, key, 5 * attempt, cs, rw,
             n=self.n_samples, n_obs=self.n_samples_obs,
         )
+        aux = self._absorb_mcmc(aux)
         dy1, aux = self._finish_fused(dy1, aux)
         return dy1, err, aux
 
@@ -1243,3 +1555,40 @@ class TDVP:
     def s_metric_norm(self, v, S):
         v = jnp.asarray(v, dtype=self.precision.solve)
         return v @ jnp.asarray(S, dtype=self.precision.solve) @ v
+
+    # ------------------------------------------------------------------
+    # Matrix-free S-metric (sexp_mode="matfree"/"auto"): v^T SExp v without
+    # the (P, P) SExp. SExp = E[logp^2 ybar ybar^T] with ybar = O - E[O]
+    # (the weighted Gram the dense path forms, _direct_stats), so
+    #   v^T SExp v = E[ logp_n^2 (a_n - E[a])^2 ],  a_n = O_n . v,
+    # and a = d/d eps logp(theta + eps v, x) -- ONE jvp (forward) pass over
+    # the batch: O(N P) per evaluation vs the dense path's O(N P^2) Gram
+    # per stage. This unlocks adaptive stepping for the large-P solver
+    # strategies (cholesky/cg/minsr) the driver previously rejected.
+    # ------------------------------------------------------------------
+    def _sexp_quad(self, theta_c, x, logp, v):
+        f = self._log_prob_flat
+
+        def batch_logp(th):
+            return jax.vmap(f, in_axes=(None, 0))(th, x)
+
+        _, a = jax.jvp(batch_logp, (theta_c,),
+                       (jnp.asarray(v, theta_c.dtype),))
+        sdt = self.precision.solve
+        a = a.astype(sdt)
+        a = a - jnp.mean(a)
+        return jnp.mean(logp.astype(sdt) ** 2 * a**2)
+
+    def sexp_norm(self, v):
+        """Host-facing matrix-free S-metric against the LAST rhs() call's
+        stage (its theta and samples): the per-call AdaptiveHeun contract's
+        stand-in for f.SExp when no dense SExp exists (driver wires
+        normFunction to this when S is None)."""
+        if self._sexp_ctx is None:
+            raise RuntimeError("sexp_norm needs a prior rhs() call with "
+                               "sexp_mode matfree")
+        theta_c, x, logp = self._sexp_ctx
+        if self._sexp_quad_jit is None:
+            self._sexp_quad_jit = jax.jit(self._sexp_quad)
+        return self._sexp_quad_jit(theta_c, x, logp,
+                                   jnp.asarray(v, theta_c.dtype))

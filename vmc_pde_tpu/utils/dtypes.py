@@ -65,6 +65,16 @@ class Precision:
         return cls(compute=jnp.float32, solve=jnp.float32, master=jnp.float64)
 
     @classmethod
+    def tpu_f64stats(cls) -> "Precision":
+        """f32 compute with an f64 solve: pair with gram_precision="f64"
+        (and optionally solve_on_device=False for the host eigh) to reach
+        reference-grade 1e-12 solver residuals on TPU while sampling and
+        differentiating at MXU-native f32 (stats.PRECISIONS "f64")."""
+        enable_x64()
+        return cls(compute=jnp.float32, solve=jnp.float64,
+                   master=jnp.float64)
+
+    @classmethod
     def f32_only(cls) -> "Precision":
         """Pure-f32 policy; works without x64 (fastest fused path)."""
         return cls(compute=jnp.float32, solve=jnp.float32, master=jnp.float32)
@@ -83,6 +93,7 @@ def resolve(precision: "Precision | str | None") -> Precision:
         return precision
     table = {
         "tpu": Precision.tpu_default,
+        "tpu_f64stats": Precision.tpu_f64stats,
         "f32": Precision.f32_only,
         "f64": Precision.f64_everywhere,
     }

@@ -105,6 +105,14 @@ class AsyncRecorder:
             self._dll.rec_close(self._handle)
             self._handle = None
 
+    def __del__(self):
+        # abnormal exits (e.g. a NaN abort raising out of the driver loop)
+        # still flush the native queue and join the writer thread
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __enter__(self):
         return self
 
