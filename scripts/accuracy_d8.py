@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--use-snr", action="store_true")
     ap.add_argument("--eloc-clip", type=float, default=0.0,
                     help=">0: winsorize Eloc at this many robust sigmas")
+    ap.add_argument("--is-gamma", type=float, default=1.0,
+                    help="<1: tail-tempered importance sampling of the "
+                         "TDVP statistics (Student_t only; "
+                         "TDVPConfig.is_gamma)")
     ap.add_argument("--snr-tol", type=float, default=2.0)
     ap.add_argument("--svd-tol", type=float, default=1e-11)
     ap.add_argument("--no-tol-floor", action="store_true")
@@ -106,7 +110,7 @@ def main(argv=None):
         gram_precision=args.gram_precision,
         gram_backend=args.gram_backend,
         use_snr=args.use_snr, snr_tol=args.snr_tol, svd_tol=args.svd_tol,
-        eloc_clip=args.eloc_clip,
+        eloc_clip=args.eloc_clip, is_gamma=args.is_gamma,
         auto_tol_floor=not args.no_tol_floor,
         solver_method=args.solver,
         solve_on_device=not args.solve_on_host,
@@ -160,6 +164,7 @@ def main(argv=None):
             "latent": args.latent,
             "depth": args.depth,
             "eloc_clip": args.eloc_clip,
+            "is_gamma": args.is_gamma,
             "solver": args.solver,
             "solve_on_host": args.solve_on_host,
         },

@@ -55,6 +55,9 @@ class RunConfig:
     # MC-bias control (solver/tdvp.py _maybe_clip_eloc); ~30 leaves
     # Gaussian-grade statistics untouched
     eloc_clip: float = 0.0
+    # < 1: tail-tempered importance sampling of the TDVP statistics batch
+    # (Student_t latent; TDVPConfig.is_gamma)
+    is_gamma: float = 1.0
     diagonal_shift: float = 0.0
     solve_on_device: bool = True
     solver_method: str = "auto"     # auto | eigh | cholesky | cg | minsr

@@ -72,6 +72,7 @@ def build_problem(cfg: RunConfig):
         snr_tol=cfg.snr_tol,
         svd_tol=cfg.svd_tol,
         eloc_clip=cfg.eloc_clip,
+        is_gamma=cfg.is_gamma,
         diagonal_shift=cfg.diagonal_shift,
         solver_method=cfg.solver_method,
         eigh_max_params=cfg.eigh_max_params,

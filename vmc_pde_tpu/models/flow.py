@@ -104,6 +104,19 @@ class Flow:
         )
         return z + jnp.asarray(self.offset_array, dtype=dtype)
 
+    def latent_sample_tempered(self, key, params, n: int, gamma,
+                               dtype=None):
+        """(z, log_w) from the tail-tempered Student-t importance proposal
+        (latent.student_t_tempered_sample); the offset shifts both target
+        and proposal identically so the weights are unaffected."""
+        if self.latent_name != "Student_t":
+            raise ValueError("tempered sampling is a Student_t feature")
+        dtype = dtype or params["latent"]["mu"].dtype
+        z, log_w = latent.student_t_tempered_sample(
+            key, params["latent"], self.dim, n, gamma, dtype
+        )
+        return z + jnp.asarray(self.offset_array, dtype=dtype), log_w
+
 
 def random_partitions(key, dim: int, depth: int):
     """Random half/half coordinate partition per block (var_state.py:110-119).

@@ -119,6 +119,31 @@ def cos_bump_log_prob(latent_params, dim: int, x):
     return jnp.log(0.5 * (1.0 + jnp.cos(jnp.pi * r))) - _COS_BUMP_LOG_Z_2D
 
 
+def student_t_tempered_sample(key, latent_params, dim: int, n: int,
+                              gamma, dtype=jnp.float32):
+    """Tail-tempered importance proposal for Student-t TDVP statistics
+    (no reference counterpart; targets the heavy-tail MC bias isolated in
+    BENCHMARKS.md's Student-t ablation): draw z from the HEAVIER-tailed
+    t_{nu_q}(mu, S) with nu_q = max(gamma * nu, 1.05) (gamma < 1) and
+    return (z, log_w), log_w = log t_nu(z) - log t_{nu_q}(z).
+
+    Because the proposal dominates the target's tails, the weights are
+    bounded above, so self-normalized IS is stable -- and the tail region
+    that carries the score-matrix bias is oversampled with down-weighted
+    draws instead of being a rare catastrophic event."""
+    nu = nu_value(latent_params)
+    nu_q = jnp.maximum(jnp.asarray(gamma, nu.dtype) * nu, 1.05)
+    q_params = dict(latent_params)
+    q_params["dist_params"] = jnp.log(nu_q - 1.0).reshape(1).astype(
+        latent_params["dist_params"].dtype)
+    z = sample("Student_t", key, q_params, dim, n, dtype)
+    log_w = jax.vmap(
+        lambda v: student_t_log_prob(latent_params, dim, v)
+        - student_t_log_prob(q_params, dim, v)
+    )(z)
+    return z, log_w
+
+
 def log_prob(name: str, latent_params, dim: int, x):
     if name == "Gauss":
         return gauss_log_prob(latent_params, dim, x)

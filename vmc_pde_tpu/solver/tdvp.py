@@ -64,6 +64,12 @@ class TDVPConfig:
     # heavy-tail MC-bias control (see _maybe_clip_eloc). Direct-stats
     # paths only (the streaming path has no global median).
     eloc_clip: float = 0.0
+    # < 1: tail-tempered importance sampling of the TDVP batch (Student_t
+    # exact latent only): draw from t_{gamma*nu} and weight the
+    # force/Gram/SNR statistics by the bounded ratio t_nu/t_{gamma*nu}
+    # (self-normalized; latent.student_t_tempered_sample). Observables
+    # always resample from the TARGET. Direct-stats eigh/cholesky paths.
+    is_gamma: float = 1.0
     # Linear-solver strategy. "eigh" is the reference's spectral
     # pseudo-inverse with per-mode regularization (tdvp.py:57-91); its cost
     # is a dense O(P^3) eigendecomposition that dominates the whole step
@@ -432,6 +438,17 @@ class TDVP:
         if cfg.eloc_clip and 0 < cfg.chunk_size:
             raise ValueError("eloc_clip needs the direct stats path "
                              "(global median); use chunk_size=0")
+        if cfg.is_gamma != 1.0:
+            if not (0.0 < cfg.is_gamma < 1.0):
+                raise ValueError("is_gamma must be in (0, 1] (proposal must "
+                                 "dominate the target's tails)")
+            if not (self.sampler.exact
+                    and self.flow.latent_name == "Student_t"):
+                raise ValueError("is_gamma tempering needs the exact "
+                                 "Student_t latent")
+            if cfg.chunk_size or method in ("cg", "minsr"):
+                raise ValueError("is_gamma tempering runs on the direct "
+                                 "eigh/cholesky statistics path")
         if method == "cg" and cfg.chunk_size:
             raise ValueError("solver_method='cg' works on the materialized "
                              "O matrix; use chunk_size=0")
@@ -605,19 +622,35 @@ class TDVP:
         scale = 1.4826 * jnp.median(jnp.abs(eloc - med))
         return med + jnp.clip(eloc - med, -c * scale, c * scale)
 
-    def _direct_stats(self, theta_c, t, x):
-        """Direct path: materialize O once, center, contract on the MXU."""
+    def _direct_stats(self, theta_c, t, x, log_w=None):
+        """Direct path: materialize O once, center, contract on the MXU.
+
+        ``log_w``: optional per-sample log importance weights (x drawn from
+        a proposal, cfg.is_gamma): every statistic becomes its self-
+        normalized IS estimator -- weighted means/centering and a weighted
+        Gram (the gram(w) machinery the SNR/SExp moments already use)."""
         cfg = self.cfg
         n = x.shape[0]
         logp, eloc, O = self._per_sample_batch(theta_c, x, t)
         eloc = self._maybe_clip_eloc(eloc)
         O = self.ctx.constrain(O, self.ctx.osample_spec)
 
-        eloc_mean = stats.mean(eloc)
-        eloc_abs_mean = stats.mean(jnp.abs(eloc))
-        eloc_var = stats.variance(eloc)
+        w = None
+        if log_w is not None:
+            w = jnp.exp(log_w - jnp.max(log_w))
+            w = w / stats.mean(w)  # mean-normalized: /n estimators hold
+
+        def wmean(a, axis=0):
+            if w is None:
+                return stats.mean(a, axis=axis)
+            ww = w if a.ndim == 1 else w[:, None]
+            return stats.mean(ww * a, axis=axis)
+
+        eloc_mean = wmean(eloc)
+        eloc_abs_mean = wmean(jnp.abs(eloc))
         e_c = eloc - eloc_mean
-        o_mean = stats.mean(O, axis=0)
+        eloc_var = wmean(e_c**2)
+        o_mean = wmean(O, axis=0)
         O_c = O - o_mean
 
         cdt = self.precision.compute
@@ -629,24 +662,33 @@ class TDVP:
             O_c = O_c.astype(gdt)
             e_c = e_c.astype(gdt)
             logp = logp.astype(gdt)
+            if w is not None:
+                w = w.astype(gdt)
             cdt = gdt
-        F0 = jnp.matmul(e_c, O_c, precision=mp) / n
+
+        # IS mode: every second moment carries the weight factor
+        def wtimes(a):
+            return a if w is None else w * a
+
+        F0 = jnp.matmul(wtimes(e_c), O_c, precision=mp) / n
         if self._use_syrk:
-            gram = lambda w=None: _syrk(O_c, w=w).astype(cdt) / n
-            S0 = gram()
+            gram = lambda gw=None: _syrk(O_c, w=gw).astype(cdt) / n
         else:
-            gram = lambda w=None: stats.weighted_second_moment_matrix(
-                O_c, w, cdt, precision=mp)
+            gram = lambda gw=None: stats.weighted_second_moment_matrix(
+                O_c, gw, cdt, precision=mp)
+        if w is None and not self._use_syrk:
             S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
                                             precision=mp)
+        else:
+            S0 = gram(w)
         S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
 
         A = None
         if cfg.compute_snr or cfg.use_snr:
-            A = gram(e_c**2)
+            A = gram(wtimes(e_c**2))
         SExp = None
         if cfg.compute_sexp:
-            SExp = gram(logp**2)
+            SExp = gram(wtimes(logp**2))
 
         return dict(
             logp=logp,
@@ -654,7 +696,7 @@ class TDVP:
             eloc_mean=eloc_mean,
             eloc_abs_mean=eloc_abs_mean,
             eloc_var=eloc_var,
-            eloc_sq_mean=stats.mean(eloc**2),
+            eloc_sq_mean=wmean(eloc**2),
             F0=F0,
             S0=S0,
             A=A,
@@ -883,6 +925,7 @@ class TDVP:
         # SAMPLE: latent draw + inverse-flow push-forward (in-jit for exact
         # latents and fused-MCMC chains; externally-supplied otherwise).
         mcmc = None
+        log_w = None
         if z_ext is None:
             if chain_state is not None:
                 sweeps = n // self.sampler.n_chains
@@ -890,6 +933,10 @@ class TDVP:
                     k_sample, chain_state, rw_scale, sweeps)
                 mcmc = dict(state=new_state, rw=rw_scale, acc=acc,
                             prop=sweeps * self.sampler.n_chains)
+            elif cfg.is_gamma != 1.0:
+                # tail-tempered importance proposal (cfg.is_gamma comment)
+                z, log_w = self.flow.latent_sample_tempered(
+                    k_sample, params, n, cfg.is_gamma, dtype=theta_c.dtype)
             else:
                 z = self.flow.latent_sample(k_sample, params, n,
                                             dtype=theta_c.dtype)
@@ -912,7 +959,7 @@ class TDVP:
         if cfg.chunk_size and cfg.chunk_size < n:
             st = self._chunked_stats(theta_c, t, x)
         else:
-            st = self._direct_stats(theta_c, t, x)
+            st = self._direct_stats(theta_c, t, x, log_w=log_w)
 
         S0, F0 = st["S0"], st["F0"]
         S = S0
@@ -988,9 +1035,11 @@ class TDVP:
             aux["_x"], aux["_logp"] = x, st["logp"]
 
         # OBSERVABLES on the (possibly larger) observable budget
-        # (tdvp.py:130-134: resample only when n_obs > n).
+        # (tdvp.py:130-134: resample only when n_obs > n). IS mode always
+        # resamples: the TDVP batch is proposal-distributed.
         aux = self._obs_tail(aux, x, st["logp"], params, k_obs, k_int,
-                             z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
+                             z_obs_ext, n, n_obs, with_obs, mcmc=mcmc,
+                             force_resample=log_w is not None)
         self._mcmc_finish(aux, mcmc)
         aux["nan"] = jnp.any(
             jnp.isnan(aux["update"] if "update" in aux else F0)
@@ -1053,15 +1102,17 @@ class TDVP:
         return aux
 
     def _obs_tail(self, aux, x, logp, params, k_obs, k_int, z_obs_ext,
-                  n, n_obs, with_obs: bool = True, mcmc=None):
+                  n, n_obs, with_obs: bool = True, mcmc=None,
+                  force_resample: bool = False):
         """Shared observables block (tdvp.py:130-134: resample only when
-        n_obs > n). In fused-MCMC mode the extra observable budget CONTINUES
-        the Metropolis chain (the reference draws a fresh sample() call,
-        tdvp.py:130-134 -- also a chain continuation, since its sampler
-        carries chain state across calls)."""
+        n_obs > n, or always under IS tempering). In fused-MCMC mode the
+        extra observable budget CONTINUES the Metropolis chain (the
+        reference draws a fresh sample() call, tdvp.py:130-134 -- also a
+        chain continuation, since its sampler carries chain state across
+        calls)."""
         cfg = self.cfg
         if cfg.observables and with_obs:
-            if n_obs > n:
+            if n_obs > n or force_resample:
                 if z_obs_ext is None:
                     if mcmc is not None:
                         sweeps = n_obs // self.sampler.n_chains
