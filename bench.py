@@ -82,7 +82,7 @@ def device_time_per_rhs(state, tdvp, K=10, label="fused"):
     def body(i, carry):
         th, acc = carry
         aux = tdvp._rhs_impl(th, 0.0, jax.random.fold_in(key, i),
-                             None, None, n, n_obs)
+                             None, None, None, None, n, n_obs)
         s = sum(jnp.sum(v).astype(jnp.float32)
                 for v in jax.tree.leaves(aux))
         return th + 0.0 * aux["update"].astype(th.dtype), acc + s

@@ -70,6 +70,10 @@ def main(argv=None):
                     help="also verify the streaming assembly for this many "
                          "leading steps at this chunk size (0 = skip)")
     ap.add_argument("--chunk-steps", type=int, default=3)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help=">1: batch the main evolution into K-step fused "
+                         "dispatches (TDVP.heun_multi) -- essential when "
+                         "per-dispatch tunnel latency dominates")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
@@ -98,8 +102,38 @@ def main(argv=None):
     key = jax.random.PRNGKey(7)
     t, n_step = 0.0, 0
     ts, ents, covd, res = [], [], [], []
+    K = max(args.steps_per_dispatch, 1)
     t_wall = time.time()
     while t < args.t_end:
+        if K > 1:
+            # simulate the deterministic dt ramp K steps ahead (the
+            # driver's plan_batch logic) and run one fused dispatch
+            ts_l, dts_l = [], []
+            t_sim, dt_sim = t, stepper.dt
+            for _ in range(K):
+                if not (t_sim < args.t_end):
+                    break
+                dt_sim = min(dt_sim * stepper.increase_fac, stepper.maxStep)
+                ts_l.append(t_sim)
+                dts_l.append(dt_sim)
+                t_sim += dt_sim
+            if len(ts_l) == K:
+                keys = []
+                for _ in ts_l:
+                    key, sk = jax.random.split(key)
+                    keys.append(sk)
+                theta, auxs = tdvp.heun_multi(theta, ts_l, dts_l,
+                                              jnp.stack(keys))
+                ts.extend(ts_l)
+                ents.extend(np.asarray(auxs["entropy"]).tolist())
+                covd.extend(np.mean(np.diagonal(
+                    np.asarray(auxs["covar"]), axis1=1, axis2=2),
+                    axis=1).tolist())
+                res.extend(np.asarray(auxs["solver_res"]).tolist())
+                t = t_sim
+                stepper.dt = dts_l[-1]
+                n_step += K
+                continue
         key, sk = jax.random.split(key)
         r = stepper.step(t, None, theta, sk)
         theta, dt, info = r.y, r.dt_used, r.info
