@@ -1369,6 +1369,10 @@ class TDVP:
         k0, aux = self._stage(theta_c, t, key, 0, n, n_obs,
                               chain_state=chain_state, rw_scale=rw_scale)
         aux = dict(aux)
+        # the matfree S-metric stash is an adaptive-path concern; don't
+        # return (or scan-stack) the (N, d) sample arrays from fixed steps
+        aux.pop("_x", None)
+        aux.pop("_logp", None)
         cs = self._chain_handoff(aux)
         # the predictor stage's observables are never recorded (Q10):
         # skip its n_obs entropy/moment pass entirely
