@@ -66,7 +66,8 @@ def main():
 
     # each variant costs a fresh (slow) Mosaic compile through this image's
     # remote tunnel -- keep the sweep tight around the current default
-    for tile, chunk in ((512, 1024), (512, 2048), (512, 4096), (1024, 2048)):
+    for tile, chunk in ((512, 1024), (512, 2048), (512, 4096), (1024, 2048),
+                        (1024, 512), (256, 2048)):
         try:
             t = device_time(
                 lambda x, tl=tile, ck=chunk: syrk(x, tile=tl, chunk=ck),

@@ -164,7 +164,10 @@ class Sampler:
     # support): "rw" proposes x' = x + scale * N(0, I). ``rw_adapt`` tunes
     # the scale between sample() calls toward the d-dimensional optimal
     # acceptance 0.234 (Robbins-Monro on log scale); the chain itself stays
-    # a valid MH kernel at fixed scale within each call.
+    # a valid MH kernel at fixed scale within each call. Multi-host note:
+    # the acceptance count is a GLOBAL psum inside the jitted chain, so
+    # every process sees the same count and adapts to the same scale --
+    # no cross-process divergence.
     proposal_mode: str = "independence"   # "independence" | "rw"
     rw_scale: float = 0.5
     rw_adapt: bool = True
