@@ -2,12 +2,21 @@
 d=32 north-star shape: sweeps (tile, chunk) against the XLA HIGH matmul
 baseline.
 
-FINDINGS (2026-08-17, results/bench_syrk2.txt): the sweep is closed.
-- (tile=512, chunk=1024) -- the shipped default -- is the ONLY compiling
-  point in the neighborhood: chunk 2048/4096 and tile 1024 overflow VMEM
-  (4 bf16 operand blocks x double buffering + the f32 accumulator tile;
-  remote tpu_compile_helper exits 1). The correctness check still passes
-  (maxrel 4.8e-6 vs a HIGHEST reference).
+FINDINGS (2026-08-17, two sweeps; round-3 re-run incl. (1024, 512) and
+(256, 2048)): the sweep is CLOSED with a documented blocker.
+- (tile=512, chunk=1024) -- the shipped default -- remains the best
+  compiling point. Every larger-block configuration ((512, 2048),
+  (512, 4096), (1024, 2048), (1024, 512)) fails in the remote Mosaic
+  compile (tpu_compile_helper exit 1; the tunnel hides the diagnostic --
+  the block sizes are well inside VMEM budget, so this is a
+  toolchain-level blocker on this image, not a resource bound we can
+  tune around). (256, 2048) compiles but is slower (45.7 ms vs 38).
+  The correctness check passes everywhere it compiles (maxrel ~5e-6 vs
+  a HIGHEST reference).
+- At the round-3 N=65,536 headline operating point the CHUNKED XLA Gram
+  wins outright (BENCHMARKS.md), so the kernel's production role is the
+  N <= 16k direct path, where its 38 ms vs XLA's 50 ms (73% of the
+  triangle ceiling) stands.
 - Wall timings from THIS harness are invalid on this machine: the remote
   TPU tunnel memoizes repeat executions of an identical (program, input)
   pair, returning in ~0 ms. The authoritative kernel timing is the
