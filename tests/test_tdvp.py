@@ -695,3 +695,71 @@ def test_is_tempering_rhs_finite(ctx1):
     _, aux2 = td2.rhs(st2.get_parameters(), 0.0, jax.random.PRNGKey(3))
     np.testing.assert_allclose(float(aux["entropy"]),
                                float(aux2["entropy"]), atol=0.2)
+
+
+def test_aot_executable_cache_roundtrip(tmp_path, ctx1):
+    """warm_aot persists the compiled fused-pair executable; a FRESH TDVP
+    (new process semantics) loads it from disk and produces bit-identical
+    results (utils/aot.py -- the per-process recompile killer)."""
+    import os
+
+    cfg = TDVPConfig()
+    st, td = make_problem(ctx1, dim=2, n=512, cfg=cfg)
+    td.warm_aot(str(tmp_path), kind="pair", verbose=False)
+    assert "pair" in td._aot
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".aotx")]
+    assert len(files) == 1 and files[0].startswith("heun_pair-")
+
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(4)
+    dy1, aux1 = td.heun_pair(theta, 0.0, 1e-3, key)
+
+    # fresh problem: warm_aot must LOAD (file count unchanged) and match
+    st2, td2 = make_problem(ctx1, dim=2, n=512, cfg=cfg)
+    td2.warm_aot(str(tmp_path), kind="pair")
+    assert len([f for f in os.listdir(tmp_path)
+                if f.endswith(".aotx")]) == 1
+    dy2, aux2 = td2.heun_pair(theta, 0.0, 1e-3, key)
+    np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dy2))
+    np.testing.assert_array_equal(np.asarray(aux1["update"]),
+                                  np.asarray(aux2["update"]))
+
+    # jit path agrees with the AOT path (same trace)
+    st3, td3 = make_problem(ctx1, dim=2, n=512, cfg=cfg)
+    dy3, _ = td3.heun_pair(theta, 0.0, 1e-3, key)
+    np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dy3))
+
+    # corrupt entry falls back to compilation transparently
+    p = tmp_path / files[0]
+    p.write_bytes(b"garbage")
+    st4, td4 = make_problem(ctx1, dim=2, n=512, cfg=cfg)
+    td4.warm_aot(str(tmp_path), kind="pair")
+    dy4, _ = td4.heun_pair(theta, 0.0, 1e-3, key)
+    np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dy4))
+
+
+def test_aot_multi_and_driver_wiring(tmp_path, ctx1):
+    """The driver warms pair+multi executables when aot_dir is set and the
+    run matches the per-step / batched trajectories exactly."""
+    import os
+
+    from vmc_pde_tpu.config import preset
+    from vmc_pde_tpu.driver import run
+
+    cfg = preset("diffusion", dim=2, offset=(0.0, 0.0), latent_name="Gauss",
+                 n_samples_tdvp=256, n_samples_obs=256, t_end=0.005,
+                 precision="f64", verbose=False, steps_per_dispatch=2,
+                 aot_dir=str(tmp_path), grid_points=20)
+    # dim==2 builds a grid, which disables multi dispatch -- drop it
+    cfg = __import__("dataclasses").replace(cfg, dim=3, offset=(0.0,) * 3)
+    state, rec = run(cfg, max_steps=4)
+    names = sorted(f.split("-")[0] for f in os.listdir(tmp_path)
+                   if f.endswith(".aotx"))
+    assert names == ["heun_multi_k2", "heun_pair"]
+    infos = rec.as_arrays()
+    assert np.isfinite(infos["entropy"]).all()
+
+    # second run: same cache entries (loaded, not re-written), same physics
+    state2, rec2 = run(cfg, max_steps=4)
+    np.testing.assert_allclose(np.asarray(rec2.as_arrays()["entropy"]),
+                               np.asarray(infos["entropy"]), rtol=1e-12)

@@ -96,6 +96,11 @@ class RunConfig:
     grid_points: int = 200
     plot_every: float = 1.0
     workdir: Optional[str] = None
+    # Directory for the AOT executable cache (utils/aot.py): fused stepper
+    # executables persist to disk and fresh processes LOAD them (~1 s)
+    # instead of recompiling (1-12 min on this image's remote-compile
+    # tunnel). Content-addressed keys: any config/shape change recompiles.
+    aot_dir: Optional[str] = None
     # True: ALSO stream per-step metrics through the native C++ async
     # recorder (native/recorder.cpp) into <workdir>/metrics.bin -- the step
     # loop never waits on file IO (a background thread drains a bounded

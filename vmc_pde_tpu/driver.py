@@ -193,6 +193,21 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                 )
         pending_nan.clear()
 
+    if cfg.aot_dir and tdvp.fused_steps_available:
+        # load-or-compile the stepper executables this run will use from
+        # the AOT cache -- fresh processes skip XLA compilation entirely
+        with timings.section("aot_warm"):
+            if isinstance(stepper, AdaptiveHeun):
+                tdvp.warm_aot(cfg.aot_dir, kind="attempt", dt=stepper.dt,
+                              verbose=cfg.verbose)
+            elif stepper.mode == "Heun" and stepper.pair_fn is not None:
+                tdvp.warm_aot(cfg.aot_dir, kind="pair", dt=stepper.dt,
+                              verbose=cfg.verbose)
+                if cfg.steps_per_dispatch > 1:
+                    tdvp.warm_aot(cfg.aot_dir, kind="multi",
+                                  K=cfg.steps_per_dispatch, dt=stepper.dt,
+                                  verbose=cfg.verbose)
+
     theta = state.get_parameters()
     t = 0.0
     dt = stepper.dt
@@ -393,6 +408,10 @@ def main(argv=None):
     p.add_argument("--async-recorder", action="store_true",
                    help="also stream per-step metrics through the native "
                         "C++ async recorder into <workdir>/metrics.bin")
+    p.add_argument("--aot-dir", type=str, default=None,
+                   help="AOT executable cache directory: fused stepper "
+                        "executables persist here and fresh processes "
+                        "load them (~1 s) instead of recompiling")
     p.add_argument("--solver", type=str, default=None,
                    choices=["auto", "eigh", "cholesky", "cg", "minsr"],
                    help="linear-solver strategy (TDVPConfig.solver_method)")
@@ -463,6 +482,8 @@ def main(argv=None):
         overrides["checkpoint_every"] = args.checkpoint_every
     if args.async_recorder:
         overrides["async_recorder"] = True
+    if args.aot_dir is not None:
+        overrides["aot_dir"] = args.aot_dir
     if args.solver is not None:
         overrides["solver_method"] = args.solver
     if args.gram_precision is not None:

@@ -563,6 +563,11 @@ class TDVP:
         self._sexp_ctx = None
         self._sexp_quad_jit = None
 
+        # AOT-cached executables (warm_aot): tag -> compiled; when present
+        # the stepper wrappers call them directly (no jit dispatch, and --
+        # via utils/aot.py -- no per-process compile).
+        self._aot = {}
+
         # Diagnostics of the latest call (tdvp.py attribute contract).
         self.ev = None
         self.snr = None
@@ -1520,10 +1525,17 @@ class TDVP:
         ts = jnp.asarray(ts, dtype=self.precision.compute)
         dts = jnp.asarray(dts, dtype=self.precision.compute)
         cs, rw = self._fused_mcmc_inputs(keys[0])
-        theta_f, cs_f, auxs = self._fused_multi(
-            theta_m, ts, dts, keys, cs, rw,
-            n=self.n_samples, n_obs=self.n_samples_obs,
-        )
+        fn = self._aot.get(("multi", int(ts.shape[0])))
+        if fn is not None:
+            try:
+                theta_f, cs_f, auxs = fn(theta_m, ts, dts, keys, cs, rw)
+            except (TypeError, ValueError):
+                fn = None
+        if fn is None:
+            theta_f, cs_f, auxs = self._fused_multi(
+                theta_m, ts, dts, keys, cs, rw,
+                n=self.n_samples, n_obs=self.n_samples_obs,
+            )
         auxs = self._absorb_mcmc(auxs, chain_state=cs_f)
         # deliberately NOT updating the per-call diagnostic attributes
         # (ev/snr/solverResidual/...): slicing the last row of ~15 stacked
@@ -1556,12 +1568,62 @@ class TDVP:
         return ((self.sampler.exact or self._mcmc_fused)
                 and self.cfg.solve_on_device)
 
+    def warm_aot(self, cache_dir, kind: str = "pair", K: int = 1,
+                 t: float = 0.0, dt: float = 1e-3, key=None,
+                 verbose: bool = False):
+        """Pre-load (or compile and persist) a fused stepper executable
+        from the AOT cache (utils/aot.py): subsequent heun_pair /
+        heun_attempt / heun_multi calls run it directly, skipping
+        per-process XLA compilation entirely (on this image's remote
+        tunnel, 1-12 minutes per big program). ``kind``: "pair" |
+        "attempt" | "multi" (with K steps per dispatch). ``t``/``dt``/
+        ``key`` only fix the traced avals (weak scalars), not values."""
+        from ..utils import aot
+
+        if not self.fused_steps_available:
+            raise ValueError("warm_aot needs fused_steps_available "
+                             "(in-jit sampling + on-device solve)")
+        key = jax.random.PRNGKey(0) if key is None else key
+        theta_c = jnp.zeros((self.n_params,), self.precision.compute)
+        cs, rw = self._fused_mcmc_inputs(key)
+        kw = dict(n=self.n_samples, n_obs=self.n_samples_obs)
+        devs = list(self.ctx.mesh.devices.flatten())
+        if kind == "pair":
+            args = (theta_c, float(t), float(dt), key, cs, rw)
+            self._aot["pair"] = aot.load_or_compile(
+                self._fused_pair, args, kw, cache_dir, "heun_pair",
+                devices=devs, verbose=verbose)
+        elif kind == "attempt":
+            args = (theta_c, float(t), float(dt), key, 0, cs, rw)
+            self._aot["attempt"] = aot.load_or_compile(
+                self._fused_attempt, args, kw, cache_dir, "heun_attempt",
+                devices=devs, verbose=verbose)
+        elif kind == "multi":
+            theta_m = jnp.zeros((self.n_params,), self.precision.master)
+            ts = jnp.zeros((K,), self.precision.compute)
+            dts = jnp.full((K,), float(dt), self.precision.compute)
+            keys = jnp.stack([jax.random.fold_in(key, i) for i in range(K)])
+            args = (theta_m, ts, dts, keys, cs, rw)
+            self._aot["multi", K] = aot.load_or_compile(
+                self._fused_multi, args, kw, cache_dir,
+                f"heun_multi_k{K}", devices=devs, verbose=verbose)
+        else:
+            raise ValueError(f"unknown warm_aot kind {kind!r}")
+
     def heun_pair(self, theta, t, dt, key):
         """(dy, aux) for a whole fixed-Heun step in one dispatch."""
         theta_c = jnp.asarray(theta, dtype=self.precision.compute)
         cs, rw = self._fused_mcmc_inputs(key)
-        dy, aux = self._fused_pair(theta_c, t, dt, key, cs, rw,
-                                   n=self.n_samples, n_obs=self.n_samples_obs)
+        fn = self._aot.get("pair")
+        if fn is not None:
+            try:
+                dy, aux = fn(theta_c, float(t), float(dt), key, cs, rw)
+            except (TypeError, ValueError):  # aval drift: fall back to jit
+                fn = None
+        if fn is None:
+            dy, aux = self._fused_pair(
+                theta_c, t, dt, key, cs, rw,
+                n=self.n_samples, n_obs=self.n_samples_obs)
         aux = self._absorb_mcmc(aux)
         return self._finish_fused(dy, aux)
 
@@ -1571,10 +1633,18 @@ class TDVP:
         intStep = 5 * attempt + stage contract)."""
         theta_c = jnp.asarray(theta, dtype=self.precision.compute)
         cs, rw = self._fused_mcmc_inputs(key)
-        dy1, err, aux = self._fused_attempt(
-            theta_c, t, dt, key, 5 * attempt, cs, rw,
-            n=self.n_samples, n_obs=self.n_samples_obs,
-        )
+        fn = self._aot.get("attempt")
+        if fn is not None:
+            try:
+                dy1, err, aux = fn(theta_c, float(t), float(dt), key,
+                                   5 * attempt, cs, rw)
+            except (TypeError, ValueError):
+                fn = None
+        if fn is None:
+            dy1, err, aux = self._fused_attempt(
+                theta_c, t, dt, key, 5 * attempt, cs, rw,
+                n=self.n_samples, n_obs=self.n_samples_obs,
+            )
         aux = self._absorb_mcmc(aux)
         dy1, aux = self._finish_fused(dy1, aux)
         return dy1, err, aux
