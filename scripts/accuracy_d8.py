@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help=">1: batch fixed-Heun steps into one device "
                          "dispatch (TDVP.heun_multi)")
+    ap.add_argument("--aot-dir", type=str, default=None,
+                    help="AOT executable cache (fresh processes skip the "
+                         "remote compile)")
     ap.add_argument("--twice", action="store_true",
                     help="run the evolution twice in one process and report "
                          "both walls: the second is the compile-free steady "
@@ -115,6 +118,7 @@ def main(argv=None):
         solver_method=args.solver,
         solve_on_device=not args.solve_on_host,
         steps_per_dispatch=args.steps_per_dispatch,
+        aot_dir=args.aot_dir,
         workdir=None, verbose=False,
     )
     import time
