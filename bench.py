@@ -250,13 +250,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
-    # Default operating point (round 3): N=65,536 with the chunked Gram --
-    # measured fastest per sample (262.8k samples/s/chip, 71% of the
-    # 3-pass MXU ceiling) vs 223k at the round-2 default N=16,384 direct
-    # (the Gram amortizes better at larger batch; direct+syrk at 65k is
-    # 256.9k). Same model, physics, and metric -- batch size is a free
-    # parameter of the samples/s/chip measurement.
-    ap.add_argument("--samples", type=int, default=65536)
+    # Default operating point (round 3): N=131,072 with the chunked Gram
+    # -- measured 277k samples/s/chip at 73% of the 3-pass MXU ceiling, vs
+    # 223k at the round-2 default N=16,384 direct (the Gram amortizes the
+    # fixed solve better at larger batch; the sweep 16k/32k/65k/131k/262k
+    # gives 222/248/263/277/285k, with 131k the knee before per-step
+    # latency doubles for +3%). Same model, physics, and metric -- batch
+    # size is a free parameter of the samples/s/chip measurement.
+    ap.add_argument("--samples", type=int, default=131072)
     ap.add_argument("--chunk", type=int, default=8192,
                     help="streaming Gram chunk size (0 = direct, which "
                          "lets the auto gram backend use the triangle "

@@ -697,16 +697,42 @@ def test_is_tempering_rhs_finite(ctx1):
                                float(aux2["entropy"]), atol=0.2)
 
 
-def test_aot_executable_cache_roundtrip(tmp_path, ctx1):
+def test_aot_executable_cache_roundtrip(tmp_path, ctx1, monkeypatch):
     """warm_aot persists the compiled fused-pair executable; a FRESH TDVP
-    (new process semantics) loads it from disk and produces bit-identical
-    results (utils/aot.py -- the per-process recompile killer)."""
+    (new process semantics) loads it from disk and produces identical
+    results (utils/aot.py -- the per-process recompile killer, measured
+    548 s -> 31 s on TPU). XLA:CPU AOT deserialization is flaky
+    (aot.SUPPORTED_BACKENDS docstring), so CI exercises the cache
+    plumbing with FAKE serializers; the real round-trip is a TPU artifact
+    (BENCHMARKS.md)."""
     import os
+
+    from jax.experimental import serialize_executable as se
+    from vmc_pde_tpu.utils import aot
+
+    calls = {"ser": 0, "deser": 0}
+    store = {}
+
+    def fake_serialize(compiled):
+        calls["ser"] += 1
+        store["obj"] = compiled
+        return b"payload-bytes", None, None
+
+    def fake_deserialize(payload, in_tree, out_tree, backend=None,
+                         execution_devices=None):
+        calls["deser"] += 1
+        assert payload == b"payload-bytes"
+        assert execution_devices is not None and len(execution_devices) == 1
+        return store["obj"]
+
+    monkeypatch.setattr(se, "serialize", fake_serialize)
+    monkeypatch.setattr(se, "deserialize_and_load", fake_deserialize)
+    monkeypatch.setattr(aot, "SUPPORTED_BACKENDS", ("tpu", "cpu"))
 
     cfg = TDVPConfig()
     st, td = make_problem(ctx1, dim=2, n=512, cfg=cfg)
     td.warm_aot(str(tmp_path), kind="pair", verbose=False)
-    assert "pair" in td._aot
+    assert "pair" in td._aot and calls == {"ser": 1, "deser": 0}
     files = [f for f in os.listdir(tmp_path) if f.endswith(".aotx")]
     assert len(files) == 1 and files[0].startswith("heun_pair-")
 
@@ -714,9 +740,10 @@ def test_aot_executable_cache_roundtrip(tmp_path, ctx1):
     key = jax.random.PRNGKey(4)
     dy1, aux1 = td.heun_pair(theta, 0.0, 1e-3, key)
 
-    # fresh problem: warm_aot must LOAD (file count unchanged) and match
+    # fresh problem: warm_aot must LOAD (no new serialize) and match
     st2, td2 = make_problem(ctx1, dim=2, n=512, cfg=cfg)
     td2.warm_aot(str(tmp_path), kind="pair")
+    assert calls == {"ser": 1, "deser": 1}
     assert len([f for f in os.listdir(tmp_path)
                 if f.endswith(".aotx")]) == 1
     dy2, aux2 = td2.heun_pair(theta, 0.0, 1e-3, key)
@@ -724,7 +751,7 @@ def test_aot_executable_cache_roundtrip(tmp_path, ctx1):
     np.testing.assert_array_equal(np.asarray(aux1["update"]),
                                   np.asarray(aux2["update"]))
 
-    # jit path agrees with the AOT path (same trace)
+    # jit path agrees with the AOT-dispatched path (same trace)
     st3, td3 = make_problem(ctx1, dim=2, n=512, cfg=cfg)
     dy3, _ = td3.heun_pair(theta, 0.0, 1e-3, key)
     np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dy3))
@@ -734,13 +761,15 @@ def test_aot_executable_cache_roundtrip(tmp_path, ctx1):
     p.write_bytes(b"garbage")
     st4, td4 = make_problem(ctx1, dim=2, n=512, cfg=cfg)
     td4.warm_aot(str(tmp_path), kind="pair")
+    assert calls["ser"] == 2  # recompiled + rewrote the entry
     dy4, _ = td4.heun_pair(theta, 0.0, 1e-3, key)
     np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dy4))
 
 
 def test_aot_multi_and_driver_wiring(tmp_path, ctx1):
-    """The driver warms pair+multi executables when aot_dir is set and the
-    run matches the per-step / batched trajectories exactly."""
+    """aot_dir wiring: the driver warms pair+multi executables; on a CPU
+    backend the disk cache no-ops (SUPPORTED_BACKENDS gating) but the
+    pre-compiled executables are still used, and repeat runs match."""
     import os
 
     from vmc_pde_tpu.config import preset
@@ -753,13 +782,11 @@ def test_aot_multi_and_driver_wiring(tmp_path, ctx1):
     # dim==2 builds a grid, which disables multi dispatch -- drop it
     cfg = __import__("dataclasses").replace(cfg, dim=3, offset=(0.0,) * 3)
     state, rec = run(cfg, max_steps=4)
-    names = sorted(f.split("-")[0] for f in os.listdir(tmp_path)
-                   if f.endswith(".aotx"))
-    assert names == ["heun_multi_k2", "heun_pair"]
+    # cpu backend: gated -- no cache entries written, run still fine
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".aotx")] == []
     infos = rec.as_arrays()
     assert np.isfinite(infos["entropy"]).all()
 
-    # second run: same cache entries (loaded, not re-written), same physics
     state2, rec2 = run(cfg, max_steps=4)
     np.testing.assert_allclose(np.asarray(rec2.as_arrays()["entropy"]),
                                np.asarray(infos["entropy"]), rtol=1e-12)

@@ -30,6 +30,14 @@ import pickle
 
 import jax
 
+# Backends whose PJRT executables round-trip reliably. XLA:CPU AOT
+# deserialization is NOT on the list: its loader compares literal host
+# machine-feature strings and can drop compiled symbols, surfacing as
+# "Function <fusion> not found" at DISPATCH time (observed flakily on
+# this image) -- an unrecoverable async failure. On unlisted backends the
+# cache no-ops (plain compile); tests exercise the plumbing with fakes.
+SUPPORTED_BACKENDS = ("tpu",)
+
 
 def _cache_key(lowered) -> str:
     dev = jax.devices()[0]
@@ -62,6 +70,11 @@ def load_or_compile(jitted, args, kwargs=None, cache_dir=None, tag="fn",
     if devices is None:
         devices = jax.devices()
     path = None
+    if cache_dir and jax.default_backend() not in SUPPORTED_BACKENDS:
+        if verbose:
+            print(f"aot: backend {jax.default_backend()!r} unsupported; "
+                  "compiling without cache")
+        cache_dir = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(cache_dir, f"{tag}-{_cache_key(lowered)}.aotx")
