@@ -790,3 +790,44 @@ def test_aot_multi_and_driver_wiring(tmp_path, ctx1):
     state2, rec2 = run(cfg, max_steps=4)
     np.testing.assert_allclose(np.asarray(rec2.as_arrays()["entropy"]),
                                np.asarray(infos["entropy"]), rtol=1e-12)
+
+
+def test_is_tempering_sharded(ctx8, ctx1):
+    """Tail-tempered IS composes with the dp mesh: identical key ->
+    identical proposal draws and weights, so the sharded weighted
+    statistics match single-device up to reduction reordering."""
+    cfg = TDVPConfig(is_gamma=0.7)
+    st1, t1 = make_problem(ctx1, dim=3, n=2048, latent_name="Student_t",
+                           cfg=cfg)
+    st8, t8 = make_problem(ctx8, dim=3, n=2048, latent_name="Student_t",
+                           cfg=cfg)
+    theta = st1.get_parameters()
+    key = jax.random.PRNGKey(9)
+    u1, a1 = t1.rhs(theta, 0.0, key)
+    u8, a8 = t8.rhs(theta, 0.0, key)
+    # identical draws (entropy bit-close); the update tolerates more: the
+    # heavy-tailed weighted Gram's near-cutoff modes amplify collective
+    # reduction reordering by ~1/svd_tol
+    np.testing.assert_allclose(float(a8["entropy"]), float(a1["entropy"]),
+                               rtol=1e-10)
+    a, b = np.asarray(u1), np.asarray(u8)
+    np.testing.assert_allclose(b, a, rtol=5e-3, atol=1e-5)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999999, cos
+
+
+def test_gram_f64_requires_x64(ctx1, monkeypatch):
+    """gram_precision='f64' without x64 would silently demote to f32."""
+    import jax as _jax
+
+    real_read = _jax.config.read
+
+    def fake_read(name):
+        if name == "jax_enable_x64":
+            return False
+        return real_read(name)
+
+    monkeypatch.setattr(_jax.config, "read", fake_read)
+    with pytest.raises(ValueError, match="x64"):
+        make_problem(ctx1, dim=2, n=256,
+                     cfg=TDVPConfig(gram_precision="f64"))

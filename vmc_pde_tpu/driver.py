@@ -430,6 +430,9 @@ def main(argv=None):
     p.add_argument("--host-solve", action="store_true",
                    help="solve the regularized system on host in numpy f64 "
                         "(the reference's default path, tdvp.py:60-64)")
+    p.add_argument("--is-gamma", type=float, default=None,
+                   help="<1: tail-tempered importance sampling of the TDVP "
+                        "statistics (Student_t latent; TDVPConfig.is_gamma)")
     p.add_argument("--stepper", type=str, default=None,
                    choices=["fixed_heun", "fixed_euler", "adaptive_heun"])
     p.add_argument("--steps-per-dispatch", type=int, default=None,
@@ -494,6 +497,8 @@ def main(argv=None):
         overrides["chunk_size"] = args.chunk_size
     if args.host_solve:
         overrides["solve_on_device"] = False
+    if args.is_gamma is not None:
+        overrides["is_gamma"] = args.is_gamma
     if args.stepper is not None:
         overrides["stepper"] = args.stepper
     if args.steps_per_dispatch is not None:

@@ -503,6 +503,16 @@ class TDVP:
                 cfg = dataclasses.replace(cfg, compute_snr=keep_snr,
                                           use_snr=False)
                 self.cfg = cfg
+        if cfg.gram_precision not in stats.PRECISIONS:
+            raise ValueError(f"unknown gram_precision "
+                             f"{cfg.gram_precision!r}")
+        if (stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision) is not None
+                and not jax.config.read("jax_enable_x64")):
+            # without x64, astype(float64) silently demotes to f32 and the
+            # "f64 statistics" promise would be a no-op
+            raise ValueError("gram_precision='f64' needs x64 enabled (use "
+                             "a Precision preset that calls enable_x64, "
+                             "e.g. 'tpu_f64stats')")
         if cfg.gram_backend not in ("auto", "xla", "syrk"):
             raise ValueError(f"unknown gram_backend {cfg.gram_backend!r}")
         if cfg.gram_backend == "auto":
