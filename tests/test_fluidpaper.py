@@ -175,3 +175,33 @@ def test_fluidpaper_fused_mcmc_multi_matches_per_step():
                                rtol=2e-3, atol=1e-6)
     # acceptance counts recorded per step
     assert (np.asarray(auxs["mcmc_proposed"]) > 0).all()
+
+
+def test_fluidpaper_fused_mcmc_dp4tp2():
+    """Fused MCMC on the 2-D (dp x tp) mesh: chains shard over dp while the
+    Gram result shards over tp."""
+    from vmc_pde_tpu.models.state import VarState
+    from vmc_pde_tpu.ops.evolution import make_equation
+    from vmc_pde_tpu.parallel.mesh import ParallelCtx
+    from vmc_pde_tpu.sampling.sampler import Sampler
+    from vmc_pde_tpu.solver.tdvp import TDVP, TDVPConfig
+    from vmc_pde_tpu.utils.dtypes import Precision
+    from vmc_pde_tpu.models.flow import build_flow
+
+    ctx = ParallelCtx.create(dp=4, tp=2)
+    prec = Precision.f64_everywhere()
+    fl, params = build_flow(0, dim=2, variant="affine",
+                            latent_name="cos_dist", offset=(0.25, 0.25),
+                            dtype=jnp.float64)
+    s = Sampler(dim=2, ctx=ctx, name="cos_dist", n_chains=64,
+                mcmc_info={"offset": np.array([0.25, 0.25]),
+                           "bound": 0.25}, dtype=jnp.float64)
+    st = VarState(fl, params, sampler=s, ctx=ctx, precision=prec)
+    eq = make_equation("advection_paper", 2)
+    td = TDVP(st, eq, TDVPConfig(), n_samples=1024, precision=prec)
+    assert td._mcmc_fused
+    dy, aux = td.heun_pair(st.get_parameters(), 0.0, 1e-3,
+                           jax.random.PRNGKey(0))
+    assert not bool(aux["nan"])
+    assert 0.05 < td.sampler.last_info.acceptance_rate < 0.95
+    assert np.isfinite(np.asarray(dy)).all()

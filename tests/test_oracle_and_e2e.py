@@ -362,3 +362,25 @@ def test_e2e_anisotropic_covariance_flow():
     err = np.abs(cov - exact).max() / np.abs(exact).max()
     assert err < 0.08, err
     assert np.median(infos["solver_res"]) < 1e-6
+
+
+def test_adaptive_host_solve_matfree_norm():
+    """The per-call adaptive path with the HOST eigensolve exercises the
+    driver's norm_fn fallback: no attempt_fn (host solve disables fusion),
+    no dense SExp (matfree), so the S-metric comes from TDVP.sexp_norm."""
+    from vmc_pde_tpu.config import preset
+    from vmc_pde_tpu.driver import build_problem, run
+
+    cfg = preset(
+        "mwe", stepper="adaptive_heun", solver_method="cholesky",
+        solve_on_device=False, n_samples_tdvp=512, n_samples_obs=512,
+        dt0=1e-4, tol=1e-2, max_step=2e-2, t_end=0.02, precision="f64",
+        verbose=False, grid_points=30,
+    )
+    _, tdvp, stepper, _, _ = build_problem(cfg)
+    assert stepper.attempt_fn is None  # host solve -> per-call path
+    assert tdvp._sexp_matfree
+    state, rec = run(cfg, max_steps=15)
+    infos = rec.as_arrays()
+    assert np.isfinite(infos["entropy"]).all()
+    assert infos["times"][-1] > 5e-4  # dt accepted and grew
