@@ -60,6 +60,44 @@ def test_hessian_block_matches_full():
     )
 
 
+def test_quad_trace_matches_block_all_equations():
+    """The forward-over-forward trace path (hessian_trace_dirs +
+    score.quad_trace) reproduces the block-Hessian Eloc exactly for every
+    Hessian-consuming operator."""
+    dim = 6
+    fl, params = nontrivial_flow(dim)
+    theta, unravel = score.flat_param_view(params)
+    f = score.make_flat_log_prob(fl, unravel)
+    x = jax.random.normal(jax.random.PRNGKey(2), (9, dim), dtype=jnp.float64)
+    _, g, _ = jax.vmap(
+        partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
+    )(theta, x)
+    eqs = [
+        evolution.Diffusion(D=0.7),
+        evolution.DiffusionDrift(D=0.7, mu=1.3),
+        evolution.DiffusionAnisotropic(dim=dim, seed=3),
+        evolution.FokkerPlanck(T=4.0),
+    ]
+    for eq in eqs:
+        hb = jax.vmap(
+            partial(score.hessian_block, f, idx=tuple(eq.hessian_coords(dim))),
+            in_axes=(None, 0),
+        )(theta, x)
+        e_block = eq.eloc(x, g, hb, 0.1)
+        dirs = jnp.asarray(eq.hessian_trace_dirs(dim), dtype=x.dtype)
+        ht = jax.vmap(
+            partial(score.quad_trace, f, dirs=dirs), in_axes=(None, 0)
+        )(theta, x)
+        assert ht.shape == (x.shape[0],)
+        e_trace = eq.eloc(x, g, ht, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(e_trace), np.asarray(e_block), atol=1e-9,
+            err_msg=eq.name,
+        )
+    # advection operators need no Hessian and advertise no trace dirs
+    assert evolution.AdvectionPaper().hessian_trace_dirs(dim) is None
+
+
 def _eloc(eq, fl, params, x, t=0.0):
     theta, unravel = score.flat_param_view(params)
     f = score.make_flat_log_prob(fl, unravel)

@@ -100,6 +100,25 @@ def test_chunked_matches_direct(ctx1):
                                rtol=1e-6, atol=1e-10)
 
 
+def test_hessian_trace_mode_matches_block(ctx1):
+    """hessian_mode='auto' (forward-over-forward quad_trace) must reproduce
+    the block-Hessian RHS on identical samples."""
+    st, t_trace = make_problem(ctx1, dim=2, n=2048,
+                               cfg=TDVPConfig(hessian_mode="auto"))
+    _, t_block = make_problem(ctx1, dim=2, n=2048,
+                              cfg=TDVPConfig(hessian_mode="block"))
+    assert t_trace._hess_dirs is not None
+    assert t_block._hess_dirs is None
+    key = jax.random.PRNGKey(11)
+    theta = st.get_parameters()
+    u1, a1 = t_trace.rhs(theta, 0.0, key)
+    u2, a2 = t_block.rhs(theta, 0.0, key)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(a1["eloc_var"]), float(a2["eloc_var"]),
+                               rtol=1e-9)
+
+
 def test_host_solve_matches_device(ctx1):
     cfg_dev = TDVPConfig(solve_on_device=True)
     cfg_host = TDVPConfig(solve_on_device=False)

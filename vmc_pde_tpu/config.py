@@ -64,6 +64,7 @@ class RunConfig:
     eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
     gram_precision: str = "high"    # highest | high | default (MXU passes)
     gram_backend: str = "auto"      # auto | xla | syrk (triangle kernel)
+    hessian_mode: str = "auto"      # auto | trace | block (TDVPConfig)
     cg_maxiter: int = 250
     cg_tol: float = 1e-7
     auto_tol_floor: bool = True  # floor svd_tol at 64*eps(compute dtype)

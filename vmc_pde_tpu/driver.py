@@ -78,6 +78,7 @@ def build_problem(cfg: RunConfig):
         eigh_max_params=cfg.eigh_max_params,
         gram_precision=cfg.gram_precision,
         gram_backend=cfg.gram_backend,
+        hessian_mode=cfg.hessian_mode,
         cg_maxiter=cfg.cg_maxiter,
         cg_tol=cfg.cg_tol,
         auto_tol_floor=cfg.auto_tol_floor,
@@ -425,6 +426,10 @@ def main(argv=None):
                    choices=["auto", "xla", "syrk"],
                    help="Gram contraction backend (syrk = triangle-only "
                         "Pallas kernel, kernels/syrk.py)")
+    p.add_argument("--hessian-mode", type=str, default=None,
+                   choices=["auto", "trace", "block"],
+                   help="per-sample Hessian strategy: forward-over-forward "
+                        "trace (score.quad_trace) vs the (k, k) block")
     p.add_argument("--chunk-size", type=int, default=None,
                    help=">0: stream samples through the stats in chunks")
     p.add_argument("--host-solve", action="store_true",
@@ -493,6 +498,8 @@ def main(argv=None):
         overrides["gram_precision"] = args.gram_precision
     if args.gram_backend is not None:
         overrides["gram_backend"] = args.gram_backend
+    if args.hessian_mode is not None:
+        overrides["hessian_mode"] = args.hessian_mode
     if args.chunk_size is not None:
         overrides["chunk_size"] = args.chunk_size
     if args.host_solve:

@@ -106,6 +106,15 @@ class Equation:
         tuple(range(dim)) = full."""
         return None
 
+    def hessian_trace_dirs(self, dim: int) -> Optional[np.ndarray]:
+        """Static (k, d) direction matrix V when the equation consumes the
+        Hessian ONLY through the quadratic-form sum sum_j V_j^T H V_j (a
+        Laplacian or a tr(H D)). When set, the solver computes that scalar
+        per sample forward-over-forward (score.quad_trace) instead of
+        materializing the (k, k) block, and ``eloc`` receives it as a
+        1-D ``hess`` array. None = the full block is required."""
+        return None
+
     def eloc(self, x, g, hess, t):
         raise NotImplementedError
 
@@ -120,8 +129,11 @@ class Diffusion(Equation):
     def hessian_coords(self, dim):
         return tuple(range(dim))
 
+    def hessian_trace_dirs(self, dim):
+        return np.eye(dim)
+
     def eloc(self, x, g, hess, t):
-        lap = jnp.trace(hess, axis1=-2, axis2=-1)
+        lap = hess if hess.ndim == 1 else jnp.trace(hess, axis1=-2, axis2=-1)
         return self.D * (jnp.sum(g**2, axis=-1) + lap)
 
 
@@ -137,8 +149,11 @@ class DiffusionDrift(Equation):
     def hessian_coords(self, dim):
         return tuple(range(dim))
 
+    def hessian_trace_dirs(self, dim):
+        return np.eye(dim)
+
     def eloc(self, x, g, hess, t):
-        lap = jnp.trace(hess, axis1=-2, axis2=-1)
+        lap = hess if hess.ndim == 1 else jnp.trace(hess, axis1=-2, axis2=-1)
         return self.D * (jnp.sum(g**2, axis=-1) + lap) + self.mu * jnp.sum(
             g, axis=-1
         )
@@ -160,10 +175,15 @@ class DiffusionAnisotropic(Equation):
     def hessian_coords(self, dim):
         return tuple(range(dim))
 
+    def hessian_trace_dirs(self, dim):
+        # tr(H D) = tr(H L L^T) = sum_j (L e_j)^T H (L e_j) with D = L L^T:
+        # the columns of the Cholesky factor are exact trace directions.
+        return np.linalg.cholesky(self.D_matrix).T
+
     def eloc(self, x, g, hess, t):
         D = jnp.asarray(self.D_matrix, dtype=g.dtype)
         quad = jnp.einsum("ni,ij,nj->n", g, D, g)
-        tr = jnp.einsum("nij,ji->n", hess, D)
+        tr = hess if hess.ndim == 1 else jnp.einsum("nij,ji->n", hess, D)
         return quad + tr
 
 
@@ -213,11 +233,15 @@ class FokkerPlanck(AdvectionHamiltonian):
     def hessian_coords(self, dim):
         return tuple(range(1, dim, 2))  # momentum coordinates only
 
+    def hessian_trace_dirs(self, dim):
+        return np.eye(dim)[1::2]  # momentum-coordinate basis vectors
+
     def eloc(self, x, g, hess, t):
         adv = -jnp.sum(g * self.velocity(x, t), axis=-1)
         g_p = g[:, 1::2]
         x_p = x[:, 1::2]
-        lap_p = jnp.trace(hess, axis1=-2, axis2=-1)
+        lap_p = hess if hess.ndim == 1 else jnp.trace(
+            hess, axis1=-2, axis2=-1)
         diff = self.m * self.gamma * self.T * (
             jnp.sum(g_p**2, axis=-1) + lap_p
         )

@@ -72,6 +72,33 @@ def hessian_block(log_prob_flat, theta, x, idx: Optional[Tuple[int, ...]]):
     return jax.jacfwd(grad_sub)(x[ind])
 
 
+def quad_trace(log_prob_flat, theta, x, dirs):
+    """Sum of Hessian quadratic forms sum_j v_j^T H v_j for one sample,
+    where H = d^2/dx^2 log p and ``dirs`` is a static (k, d) direction
+    matrix. This is everything the trace-only equations need (Laplacians:
+    dirs = basis vectors; anisotropic tr(H D): dirs = Cholesky columns of
+    D), computed FORWARD-over-FORWARD:
+
+        v^T H v = d^2/dt^2 log p(x + t v)  =  jvp(jvp(f, v), v).
+
+    Per direction this costs ~4 primal passes with no backward graph at
+    all, vs ~6+ for the jvp-of-grad ``hessian_block`` path -- and, unlike
+    reverse mode, it stores no cotangent activations, so XLA streams it.
+    At the d=32 north-star shape the (n, k, k) block path was the
+    super-linear memory-bound stage (BENCHMARKS.md round-3 addendum)."""
+
+    def f(xv):
+        return log_prob_flat(theta, xv)
+
+    def one(v):
+        def inner(y):
+            return jax.jvp(f, (y,), (v,))[1]
+
+        return jax.jvp(inner, (x,), (v,))[1]
+
+    return jnp.sum(jax.vmap(one)(dirs))
+
+
 def batched_eval(flow):
     """vmapped log p: (params, (N, d)) -> (N,)."""
     return jax.vmap(flow.log_prob, in_axes=(None, 0))

@@ -116,6 +116,14 @@ class TDVPConfig:
     # the reference tolerances assume f64 statistics; with an f32 compute
     # path, Gram eigenvalue noise sits at ~eps * ev_max and must be cut.
     auto_tol_floor: bool = True
+    # Per-sample Hessian strategy. "trace": when the equation consumes the
+    # Hessian only through quadratic-form sums (all diffusion operators and
+    # Fokker-Planck -- hessian_trace_dirs), compute that scalar forward-
+    # over-forward (score.quad_trace; no backward graph, ~2x fewer FLOPs
+    # and streaming memory) instead of materializing the (k, k) block per
+    # sample. "block": always the jvp-of-grad block (reference-shaped,
+    # var_state.py:32). "auto" = trace whenever the equation allows it.
+    hessian_mode: str = "auto"
     compute_snr: bool = True      # record per-mode SNR diagnostics
     compute_sexp: bool = False    # DENSE (P, P) SExp for the adaptive norm
     # Adaptive-stepper S-metric source. "none": whatever compute_sexp says.
@@ -557,6 +565,18 @@ class TDVP:
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
         self._hess_idx = equation.hessian_coords(self.flow.dim)
+        if cfg.hessian_mode not in ("auto", "trace", "block"):
+            raise ValueError(f"unknown hessian_mode {cfg.hessian_mode!r}")
+        self._hess_dirs = None
+        if cfg.hessian_mode in ("auto", "trace"):
+            dirs = equation.hessian_trace_dirs(self.flow.dim)
+            if dirs is not None:
+                self._hess_dirs = np.asarray(dirs)
+            elif cfg.hessian_mode == "trace" and self._hess_idx is not None:
+                raise ValueError(
+                    f"equation {equation.name!r} needs the full Hessian "
+                    "block; hessian_mode='trace' is not available"
+                )
 
         # Fused MCMC sampling: the Metropolis chain loop traces INTO the
         # TDVP step programs with the chain state threaded through
@@ -610,7 +630,12 @@ class TDVP:
             partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
         )(theta_c, x)
         hess = None
-        if self._hess_idx is not None:
+        if self._hess_dirs is not None:
+            dirs = jnp.asarray(self._hess_dirs, dtype=x.dtype)
+            hess = jax.vmap(
+                partial(score.quad_trace, f, dirs=dirs), in_axes=(None, 0)
+            )(theta_c, x)
+        elif self._hess_idx is not None:
             hess = jax.vmap(
                 partial(score.hessian_block, f, idx=tuple(self._hess_idx)),
                 in_axes=(None, 0),
