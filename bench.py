@@ -265,9 +265,11 @@ def main():
     ap.add_argument("--gram-precision", type=str, default="high",
                     choices=["highest", "high", "default", "f64"])
     ap.add_argument("--gram-backend", type=str, default="auto",
-                    choices=["auto", "xla", "syrk"],
+                    choices=["auto", "xla", "syrk", "sym2"],
                     help="Gram contraction backend (syrk = triangle-only "
-                         "Pallas kernel; 'auto' uses it on single-chip TPU)")
+                         "Pallas kernel, 'auto' uses it on single-chip "
+                         "TPU; sym2 = 2-pass symmetric hi/lo split, works "
+                         "chunked and on any mesh)")
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky", "cg", "minsr"])
     ap.add_argument("--quick", action="store_true",

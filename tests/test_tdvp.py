@@ -431,6 +431,75 @@ def test_gram_backend_syrk_matches_xla(ctx1):
                                    atol=1e-8)
 
 
+def test_gram_backend_sym2_matches_xla(ctx1):
+    """The 2-pass symmetric-split Gram backend must reproduce the XLA
+    HIGH statistics -- S0, A, SExp, and (unchanged) F0 -- on identical
+    samples, on both the direct and the chunked paths. sym2 sums the same
+    three hi/lo terms HIGH does from two MXU passes, so agreement is at
+    the split's own numerics class (~1e-6 relative); on CPU HIGH lowers
+    to a true-f32 matmul, making this a cross-numerics check at a loose
+    tolerance."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    kw = dict(compute_snr=True, compute_sexp=True, gram_precision="high")
+    for chunk in (0, 512):
+        cfg_x = TDVPConfig(gram_backend="xla", chunk_size=chunk, **kw)
+        cfg_s = TDVPConfig(gram_backend="sym2", chunk_size=chunk, **kw)
+        st, t_x = make_problem(ctx1, dim=2, n=2048, cfg=cfg_x, prec=prec)
+        _, t_s = make_problem(ctx1, dim=2, n=2048, cfg=cfg_s, prec=prec)
+        assert t_s._use_sym2 and not t_x._use_sym2
+
+        theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+        params = t_x._unravel(theta_c)
+        z = st.flow.latent_sample(jax.random.PRNGKey(5), params, 2048,
+                                  dtype=prec.compute)
+        x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+        stats_fn = "_chunked_stats" if chunk else "_direct_stats"
+        s_x = getattr(t_x, stats_fn)(theta_c, 0.0, x)
+        s_s = getattr(t_s, stats_fn)(theta_c, 0.0, x)
+        for key in ("S0", "A", "SExp"):
+            a, b = np.asarray(s_x[key]), np.asarray(s_s[key])
+            np.testing.assert_allclose(
+                b, a, atol=5e-5 * np.abs(a).max(),
+                err_msg=f"{key} (chunk={chunk})")
+        np.testing.assert_allclose(np.asarray(s_s["F0"]),
+                                   np.asarray(s_x["F0"]), rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_sym2_gram_sum_identity():
+    """Unit check of the 2-pass split: X^T diag(w) X from H^T H + H^T L +
+    (H^T L)^T must agree with the f64 Gram to bf16-split-class error,
+    unweighted and with nonnegative weights, and be symmetric to ulp
+    level (H^T H is not bit-symmetric under XLA:CPU's blocked reduction;
+    neither is the 3-pass baseline, so sym2 is held to the same bar)."""
+    from vmc_pde_tpu.parallel import stats as pstats
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((512, 33)).astype(np.float32)
+    w = rng.random(512).astype(np.float32) + 0.1
+    for ww in (None, w):
+        ref = X.astype(np.float64).T @ (
+            X if ww is None else X * ww[:, None]).astype(np.float64)
+        got = np.asarray(pstats.sym2_gram_sum(jnp.asarray(X),
+                                              None if ww is None
+                                              else jnp.asarray(ww)))
+        np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max())
+        np.testing.assert_allclose(got, got.T,
+                                   atol=1e-5 * np.abs(got).max())
+
+
+def test_gram_backend_sym2_rejects_other_numerics(ctx1):
+    """sym2 IS the f32 'high' operating point; explicit overrides at other
+    precision configurations must fail loudly rather than silently change
+    the statistics class."""
+    with pytest.raises(ValueError, match="sym2"):
+        make_problem(ctx1, cfg=TDVPConfig(gram_backend="sym2",
+                                          gram_precision="highest"))
+
+
 def test_gram_backend_validation(ctx1):
     with pytest.raises(ValueError, match="gram_backend"):
         make_problem(ctx1, cfg=TDVPConfig(gram_backend="nope"))

@@ -423,9 +423,10 @@ def main(argv=None):
                         "gradients -- reference-grade residuals on TPU; "
                         "pair with --precision tpu_f64stats)")
     p.add_argument("--gram-backend", type=str, default=None,
-                   choices=["auto", "xla", "syrk"],
+                   choices=["auto", "xla", "syrk", "sym2"],
                    help="Gram contraction backend (syrk = triangle-only "
-                        "Pallas kernel, kernels/syrk.py)")
+                        "Pallas kernel, kernels/syrk.py; sym2 = 2-pass "
+                        "symmetric hi/lo split, any mesh, chunk-safe)")
     p.add_argument("--hessian-mode", type=str, default=None,
                    choices=["auto", "trace", "block"],
                    help="per-sample Hessian strategy: forward-over-forward "

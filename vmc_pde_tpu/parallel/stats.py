@@ -86,6 +86,46 @@ def weighted_second_moment_matrix(data, w, preferred_dtype=jnp.float32,
     ) / n
 
 
+def _split_bf16(x):
+    """Exact f32 = hi + lo bf16 operand decomposition (the HIGH-precision
+    emulation's split). The optimization_barrier pins the split under
+    --xla_allow_excess_precision, which otherwise folds lo to zero
+    (kernels/syrk.py:54-65)."""
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def sym2_gram_sum(data, w=None):
+    """UNNORMALIZED symmetric Gram X^T diag(w) X (shape (N, P) -> (P, P),
+    ``w`` None or NONNEGATIVE) in TWO bf16 MXU passes instead of XLA
+    HIGH's three.
+
+    HIGH emulates the f32 matmul A@B as Ah@Bh + Ah@Bl + Al@Bh (hi/lo bf16
+    splits, lo@lo dropped). For the symmetric Gram the operands coincide,
+    so the third pass is the transpose of the second:
+
+        X^T X ~= H^T H + H^T L + (H^T L)^T,
+
+    i.e. the same three terms HIGH sums, from only two MXU passes -- a
+    1.5x FLOP reduction on the dominant contraction of the TDVP step at
+    identical numerics class (same dropped term, same per-pass rounding).
+    Nonnegative weights fold in exactly as X <- sqrt(w) X, preserving the
+    operand symmetry; SIGNED weights cannot (callers fall back to the
+    3-pass matmul). f32 data only. Sharding-transparent: both matmuls are
+    ordinary dot_generals, so the dp-sharded sample contraction still
+    lowers to on-fabric collectives under the enclosing jit."""
+    x = data.astype(jnp.float32)
+    if w is not None:
+        x = x * jnp.sqrt(w.astype(jnp.float32))[:, None]
+    hi, lo = _split_bf16(x)
+    m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    m2 = jnp.matmul(hi.T, lo, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    return m1 + m2 + m2.T
+
+
 def covariance_matrix(data, preferred_dtype=jnp.float32):
     """True covariance E[(X-m)^T (X-m)] in one pass (centering fused)."""
     m = jnp.mean(data, axis=0, keepdims=True)

@@ -521,8 +521,24 @@ class TDVP:
             raise ValueError("gram_precision='f64' needs x64 enabled (use "
                              "a Precision preset that calls enable_x64, "
                              "e.g. 'tpu_f64stats')")
-        if cfg.gram_backend not in ("auto", "xla", "syrk"):
+        if cfg.gram_backend not in ("auto", "xla", "syrk", "sym2"):
             raise ValueError(f"unknown gram_backend {cfg.gram_backend!r}")
+        # sym2: the 2-pass symmetric-Gram split (stats.sym2_gram_sum) --
+        # pure XLA dot_generals, so it works on any mesh and inside the
+        # chunked scan, but it IS the f32 "high"-numerics operating point
+        # and only applies where the Gram weights are nonnegative (the
+        # signed-weight sum_EOO moment keeps the 3-pass matmul).
+        self._use_sym2 = (
+            cfg.gram_backend == "sym2"
+            and self.precision.compute == jnp.float32
+            and cfg.gram_precision == "high"
+        )
+        if cfg.gram_backend == "sym2" and not self._use_sym2:
+            raise ValueError(
+                "gram_backend='sym2' implements f32 statistics at "
+                "gram_precision='high' numerics; use 'auto'/'xla' with "
+                "this precision configuration"
+            )
         if cfg.gram_backend == "auto":
             # The triangle kernel halves the Gram MXU work but is a
             # single-device program; sharded meshes keep the XLA matmul,
@@ -711,12 +727,17 @@ class TDVP:
             return a if w is None else w * a
 
         F0 = jnp.matmul(wtimes(e_c), O_c, precision=mp) / n
-        if self._use_syrk:
+        # every direct-path Gram weight is nonnegative (IS weights, e_c^2,
+        # logp^2), so sym2's sqrt(w) folding applies throughout
+        if self._use_sym2:
+            gram = lambda gw=None: stats.sym2_gram_sum(O_c, gw).astype(
+                cdt) / n
+        elif self._use_syrk:
             gram = lambda gw=None: _syrk(O_c, w=gw).astype(cdt) / n
         else:
             gram = lambda gw=None: stats.weighted_second_moment_matrix(
                 O_c, gw, cdt, precision=mp)
-        if w is None and not self._use_syrk:
+        if w is None and not (self._use_syrk or self._use_sym2):
             S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
                                             precision=mp)
         else:
@@ -773,13 +794,25 @@ class TDVP:
 
         want_A = cfg.compute_snr or cfg.use_snr
 
-        if self._use_syrk:
-            # triangle kernel: unnormalized chunk sums Os^T diag(w) Os
-            gram_sum = lambda Os, w=None: _syrk(Os, w=w).astype(cdt)
-        else:
-            gram_sum = lambda Os, w=None: jnp.matmul(
+        def _matmul_gram_sum(Os, w=None):
+            return jnp.matmul(
                 Os.T, Os if w is None else Os * w[:, None],
                 preferred_element_type=cdt, precision=mp)
+
+        if self._use_syrk:
+            # triangle kernel: unnormalized chunk sums Os^T diag(w) Os
+            gram_sum = lambda Os, w=None, signed=False: _syrk(
+                Os, w=w).astype(cdt)
+        elif self._use_sym2:
+            # 2-pass split needs operand symmetry: nonnegative w folds in
+            # as sqrt(w)*Os; the one SIGNED weight (sum_EOO's centered
+            # eloc) keeps the 3-pass matmul
+            gram_sum = lambda Os, w=None, signed=False: (
+                _matmul_gram_sum(Os, w) if signed
+                else stats.sym2_gram_sum(Os, w).astype(cdt))
+        else:
+            gram_sum = lambda Os, w=None, signed=False: _matmul_gram_sum(
+                Os, w)
 
         def chunk_fn(carry, xc, batch=None):
             logp, eloc, O = (batch if batch is not None
@@ -807,7 +840,8 @@ class TDVP:
                 upd["sum_E2O"] = carry["sum_E2O"] + jnp.matmul(
                     w, Os, precision=mp)
                 upd["sum_E2OO"] = carry["sum_E2OO"] + gram_sum(Os, w)
-                upd["sum_EOO"] = carry["sum_EOO"] + gram_sum(Os, es)
+                upd["sum_EOO"] = carry["sum_EOO"] + gram_sum(
+                    Os, es, signed=True)
             if cfg.compute_sexp:
                 w = logp**2
                 upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
