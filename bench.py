@@ -298,16 +298,20 @@ def main():
                         chunk=args.chunk, solver=args.solver,
                         gram_precision=args.gram_precision,
                         gram_backend=args.gram_backend)
+    backend = ("syrk" if tdvp._use_syrk
+               else "sym2" if tdvp._use_sym2 else "xla")
     log(f"solver={tdvp.solver_method} chunk={args.chunk} "
-        f"gram={args.gram_precision} "
-        f"backend={'syrk' if tdvp._use_syrk else 'xla'}")
+        f"gram={args.gram_precision} backend={backend}")
     log(f"dim={args.dim} n_params={state.numParameters} "
         f"n_samples={tdvp.n_samples}")
 
     dt_fused, residual = device_time_per_rhs(state, tdvp, label=f"fused d{args.dim}")
     sps = tdvp.n_samples / dt_fused / n_chips
     log(f"fused: {dt_fused * 1e3:.2f} ms/rhs -> {sps:,.0f} samples/s/chip")
-    mfu_report(dt_fused, tdvp.n_samples, state.numParameters, args.dim)
+    # sym2 executes the f32-grade Gram in 2 MXU passes instead of HIGH's
+    # 3; its ceiling (and thus the honest MFU denominator) is higher
+    mfu_report(dt_fused, tdvp.n_samples, state.numParameters, args.dim,
+               gram_passes=2 if tdvp._use_sym2 else 3)
 
     if args.stages:
         stage_breakdown(state, tdvp)

@@ -70,6 +70,36 @@ def test_tdvp_step_sharded_matches_single(mesh, ctx1, ctx8, ctx42):
                                rtol=1e-10)
 
 
+@pytest.mark.parametrize("mesh", ["dp8", "dp4tp2"])
+def test_tdvp_sym2_sharded_matches_single(mesh, ctx1, ctx8, ctx42):
+    """gram_backend='sym2' is sharding-transparent (pure dot_generals):
+    the sharded rhs must match the single-device rhs with the SAME
+    backend, on dp-only and dp x tp meshes, direct and chunked. On TPU
+    'auto' selects sym2, so this pins the multi-chip default path."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")  # sym2 serves the f32-compute regime
+    ctx_multi = ctx8 if mesh == "dp8" else ctx42
+    for chunk in (0, 512):
+        cfg = TDVPConfig(gram_backend="sym2", gram_precision="high",
+                         chunk_size=chunk)
+        st1, t1 = make_problem(ctx1, dim=2, n=2048, cfg=cfg, prec=prec)
+        stm, tm = make_problem(ctx_multi, dim=2, n=2048, cfg=cfg, prec=prec)
+        assert t1._use_sym2 and tm._use_sym2
+        key = jax.random.PRNGKey(11)
+        theta = st1.get_parameters()
+        u1, a1 = t1.rhs(theta, 0.0, key)
+        um, am = tm.rhs(theta, 0.0, key)
+        # f32 compute + bf16-split Gram through the regularized solve:
+        # collective reduction reordering is amplified by the solver's
+        # conditioning, so the bar is update-scale (~1e-2) relative plus
+        # a few-ulp-of-solve absolute floor
+        np.testing.assert_allclose(np.asarray(um), np.asarray(u1),
+                                   rtol=2e-4, atol=3e-5,
+                                   err_msg=f"chunk={chunk}")
+        assert not bool(am["nan"])
+
+
 def test_tdvp_chunked_sharded(ctx8):
     """Streaming accumulation composes with dp sharding."""
     st, tdvp = make_problem(ctx8, dim=2, n=2048,

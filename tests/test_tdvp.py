@@ -506,10 +506,13 @@ def test_gram_backend_validation(ctx1):
 
 
 def test_gram_backend_auto_is_xla_off_tpu(ctx1):
-    """'auto' must not pick the single-device kernel on CPU meshes (and by
-    the same predicate, on multi-device TPU meshes)."""
+    """'auto' must pick the plain matmul off-TPU: syrk is a single-device
+    TPU kernel, and sym2's 2-pass bf16 split only beats a backend whose
+    f32 matmul is bf16-emulated (on CPU 'high' is one true-f32 pass --
+    faster AND more accurate than the split)."""
     st, tdvp = make_problem(ctx1, cfg=TDVPConfig(gram_backend="auto"))
     assert not tdvp._use_syrk
+    assert not tdvp._use_sym2
 
 
 def test_minsr_matches_eigh_underdetermined(ctx1):

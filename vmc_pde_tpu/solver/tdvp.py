@@ -96,13 +96,15 @@ class TDVPConfig:
     # -- 3-pass rounding sits far below the f32 tolerance floor), "default"
     # (1-pass bf16: too coarse for the spectral solve).
     gram_precision: str = "high"
-    # Gram contraction backend. "syrk" computes only the lower-triangle
-    # tiles of the symmetric S = O^T O with a Pallas kernel (half the MXU
-    # passes of XLA's full matmul at identical 3-pass numerics,
-    # kernels/syrk.py); "xla" is the plain matmul; "auto" picks syrk on a
-    # single-device TPU mesh with f32 "high"-precision stats and xla
-    # otherwise (multi-device meshes need XLA's SPMD partitioning of the
-    # contraction).
+    # Gram contraction backend. "sym2" exploits the operand symmetry of
+    # S = O^T O under the hi/lo bf16 split: HIGH's third pass is the
+    # transpose of its second, so two MXU passes reproduce all three
+    # HIGH terms (parallel/stats.sym2_gram_sum; 1.5x FLOP cut at the
+    # same numerics class, chunk-safe, SPMD-partitionable). "syrk"
+    # computes only the lower-triangle tiles with a single-device Pallas
+    # kernel (kernels/syrk.py). "xla" is the plain matmul. "auto" picks
+    # sym2 on TPU with f32 "high"-precision stats (it wins on every
+    # measured shape, direct and chunked, and shards) and xla otherwise.
     gram_backend: str = "auto"
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
@@ -540,21 +542,23 @@ class TDVP:
                 "this precision configuration"
             )
         if cfg.gram_backend == "auto":
-            # The triangle kernel halves the Gram MXU work but is a
-            # single-device program; sharded meshes keep the XLA matmul,
-            # which SPMD-partitions with ICI collectives. Its 3-pass split
-            # is the "high" operating point for f32 stats. The chunked
-            # streaming path also keeps XLA: a per-chunk kernel call pays
-            # the (P, P) mirror + read-modify-write every scan step, which
-            # costs more than the triangle saves (measured 93 vs 80 ms at
-            # the d=32 bench shape).
-            self._use_syrk = (
+            # sym2 wins everywhere measured at the f32/HIGH operating
+            # point it serves: d=32 headline (N=131k chunked) 406.7 vs
+            # XLA's 472.7 ms/RHS; direct N=16,384 70.8 vs the triangle
+            # syrk kernel's 76.2 and XLA's 82.9 ms (syrk computes only
+            # half the MACs but runs at 73% of its ceiling; sym2's two
+            # full passes ride XLA's ~88%-efficient matmul). And unlike
+            # syrk it SPMD-partitions (pure dot_generals) and composes
+            # with the chunked scan, so auto uses it on ANY mesh/chunk
+            # config. On CPU "high" lowers to a true f32 matmul -- one
+            # pass, more accurate -- so the split stays TPU-only. syrk
+            # remains as an explicit single-device backend.
+            self._use_sym2 = (
                 jax.default_backend() == "tpu"
-                and self.ctx.mesh.size == 1
                 and cfg.gram_precision == "high"
                 and self.precision.compute == jnp.float32
-                and not (0 < cfg.chunk_size < self.n_samples)
             )
+            self._use_syrk = False
         else:
             self._use_syrk = cfg.gram_backend == "syrk"
             if self._use_syrk and self.ctx.mesh.size > 1:
