@@ -259,9 +259,9 @@ def main():
     # size is a free parameter of the samples/s/chip measurement.
     ap.add_argument("--samples", type=int, default=131072)
     ap.add_argument("--chunk", type=int, default=8192,
-                    help="streaming Gram chunk size (0 = direct, which "
-                         "lets the auto gram backend use the triangle "
-                         "syrk kernel on single-chip TPU)")
+                    help="streaming Gram chunk size (0 = direct; the "
+                         "auto gram backend picks the 2-pass sym2 split "
+                         "on TPU either way)")
     ap.add_argument("--gram-precision", type=str, default="high",
                     choices=["highest", "high", "default", "f64"])
     ap.add_argument("--gram-backend", type=str, default="auto",

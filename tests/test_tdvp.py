@@ -472,15 +472,19 @@ def test_gram_backend_sym2_matches_xla(ctx1):
 def test_sym2_gram_sum_identity():
     """Unit check of the 2-pass split: X^T diag(w) X from H^T H + H^T L +
     (H^T L)^T must agree with the f64 Gram to bf16-split-class error,
-    unweighted and with nonnegative weights, and be symmetric to ulp
-    level (H^T H is not bit-symmetric under XLA:CPU's blocked reduction;
-    neither is the 3-pass baseline, so sym2 is held to the same bar)."""
+    unweighted, with nonnegative weights, and with SIGNED weights (the
+    sign rides the hi-split exactly; sum_EOO's weight is the centered
+    Eloc), and be symmetric to ulp level (H^T H is not bit-symmetric
+    under XLA:CPU's blocked reduction; neither is the 3-pass baseline,
+    so sym2 is held to the same bar)."""
     from vmc_pde_tpu.parallel import stats as pstats
 
     rng = np.random.default_rng(7)
     X = rng.standard_normal((512, 33)).astype(np.float32)
     w = rng.random(512).astype(np.float32) + 0.1
-    for ww in (None, w):
+    ws = rng.standard_normal(512).astype(np.float32)  # signed, some ~0
+    ws[:7] = 0.0
+    for ww in (None, w, ws):
         ref = X.astype(np.float64).T @ (
             X if ww is None else X * ww[:, None]).astype(np.float64)
         got = np.asarray(pstats.sym2_gram_sum(jnp.asarray(X),

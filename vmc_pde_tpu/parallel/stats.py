@@ -98,7 +98,7 @@ def _split_bf16(x):
 
 def sym2_gram_sum(data, w=None):
     """UNNORMALIZED symmetric Gram X^T diag(w) X (shape (N, P) -> (P, P),
-    ``w`` None or NONNEGATIVE) in TWO bf16 MXU passes instead of XLA
+    ``w`` None or any-signed) in TWO bf16 MXU passes instead of XLA
     HIGH's three.
 
     HIGH emulates the f32 matmul A@B as Ah@Bh + Ah@Bl + Al@Bh (hi/lo bf16
@@ -110,18 +110,26 @@ def sym2_gram_sum(data, w=None):
     i.e. the same three terms HIGH sums, from only two MXU passes -- a
     1.5x FLOP reduction on the dominant contraction of the TDVP step at
     identical numerics class (same dropped term, same per-pass rounding).
-    Nonnegative weights fold in exactly as X <- sqrt(w) X, preserving the
-    operand symmetry; SIGNED weights cannot (callers fall back to the
-    3-pass matmul). f32 data only. Sharding-transparent: both matmuls are
-    ordinary dot_generals, so the dp-sharded sample contraction still
+    Weights fold in as X <- sqrt(|w|) X with the SIGN applied to one
+    side's hi-split only: with S = diag(sign w), Hs = S H is exact in
+    bf16 (a sign flip touches no mantissa bits), and
+
+        X^T diag(w) X ~= Hs^T H + Hs^T L + (Hs^T L)^T
+
+    since (Hs^T L)^T = L^T S H -- the operand symmetry survives signed
+    weights (used by the chunked path's sum_EOO moment, whose weight is
+    the centered Eloc). f32 data only. Sharding-transparent: both matmuls
+    are ordinary dot_generals, so the dp-sharded sample contraction still
     lowers to on-fabric collectives under the enclosing jit."""
     x = data.astype(jnp.float32)
     if w is not None:
-        x = x * jnp.sqrt(w.astype(jnp.float32))[:, None]
+        wf = w.astype(jnp.float32)
+        x = x * jnp.sqrt(jnp.abs(wf))[:, None]
     hi, lo = _split_bf16(x)
-    m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
+    hs = hi if w is None else hi * jnp.sign(wf)[:, None]
+    m1 = jnp.matmul(hs.T, hi, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    m2 = jnp.matmul(hi.T, lo, preferred_element_type=jnp.float32,
+    m2 = jnp.matmul(hs.T, lo, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
     return m1 + m2 + m2.T
 

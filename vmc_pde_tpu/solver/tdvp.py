@@ -527,9 +527,8 @@ class TDVP:
             raise ValueError(f"unknown gram_backend {cfg.gram_backend!r}")
         # sym2: the 2-pass symmetric-Gram split (stats.sym2_gram_sum) --
         # pure XLA dot_generals, so it works on any mesh and inside the
-        # chunked scan, but it IS the f32 "high"-numerics operating point
-        # and only applies where the Gram weights are nonnegative (the
-        # signed-weight sum_EOO moment keeps the 3-pass matmul).
+        # chunked scan (all weighted moments included, signed sum_EOO
+        # too), but it IS the f32 "high"-numerics operating point.
         self._use_sym2 = (
             cfg.gram_backend == "sym2"
             and self.precision.compute == jnp.float32
@@ -808,12 +807,11 @@ class TDVP:
             gram_sum = lambda Os, w=None, signed=False: _syrk(
                 Os, w=w).astype(cdt)
         elif self._use_sym2:
-            # 2-pass split needs operand symmetry: nonnegative w folds in
-            # as sqrt(w)*Os; the one SIGNED weight (sum_EOO's centered
-            # eloc) keeps the 3-pass matmul
-            gram_sum = lambda Os, w=None, signed=False: (
-                _matmul_gram_sum(Os, w) if signed
-                else stats.sym2_gram_sum(Os, w).astype(cdt))
+            # 2-pass split: weights (any sign) fold in as sqrt(|w|)*Os
+            # with the sign applied to the hi-split (exact in bf16), so
+            # even the signed sum_EOO moment rides the 2-pass form
+            gram_sum = lambda Os, w=None, signed=False: \
+                stats.sym2_gram_sum(Os, w).astype(cdt)
         else:
             gram_sum = lambda Os, w=None, signed=False: _matmul_gram_sum(
                 Os, w)
