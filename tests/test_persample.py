@@ -1,0 +1,136 @@
+"""Fused per-sample Pallas kernel (kernels/persample.py): the Mosaic
+re-expression of flow.log_prob must be bit-class-identical math to the
+XLA path, and the kernel (interpret mode on CPU) must reproduce the
+XLA per-sample pipeline's (logp, g, quad, O) outputs."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmc_pde_tpu.kernels import persample
+from vmc_pde_tpu.models.flow import build_flow
+from vmc_pde_tpu.ops import score
+
+
+def _flow_and_batch(variant, global_affine=False, dim=6, depth=3, n=16,
+                    dtype=jnp.float64, seed=7):
+    flow, params = build_flow(
+        seed, dim, depth=depth, variant=variant,
+        global_affine=global_affine, dtype=dtype,
+    )
+    # Push parameters away from the near-identity init so the coupling
+    # layers actually transform (out_scale=1e-5 leaves everything ~linear).
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * np.cos(np.arange(a.size, dtype=np.float64))
+        .reshape(a.shape).astype(a.dtype),
+        params,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (n, dim), dtype=dtype)
+    return flow, params, x
+
+
+@pytest.mark.parametrize(
+    "variant,ga",
+    [("scale", False), ("affine", False), ("additive", False),
+     ("scale_shift", False), ("scale", True)],
+)
+def test_mosaic_log_prob_matches_flow(variant, ga):
+    flow, params, x = _flow_and_batch(variant, global_affine=ga)
+    ref = jax.vmap(flow.log_prob, in_axes=(None, 0))(params, x)
+    got = jax.vmap(partial(persample.mosaic_log_prob, flow),
+                   in_axes=(None, 0))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_mosaic_gradients_match_flow():
+    """Parameter and coordinate gradients of the re-expressed density agree
+    with the XLA path (the kernel differentiates mosaic_log_prob, so its
+    O-rows/score are only as good as this)."""
+    flow, params, x = _flow_and_batch("scale")
+    theta, unravel = score.flat_param_view(params)
+
+    f_ref = score.make_flat_log_prob(flow, unravel)
+    f_mos = lambda th, xi: persample.mosaic_log_prob(flow, unravel(th), xi)
+
+    lp_r, gx_r, gt_r = jax.vmap(
+        partial(score.value_score_and_param_grad, f_ref), in_axes=(None, 0)
+    )(theta, x)
+    lp_m, gx_m, gt_m = jax.vmap(
+        partial(score.value_score_and_param_grad, f_mos), in_axes=(None, 0)
+    )(theta, x)
+    np.testing.assert_allclose(np.asarray(lp_m), np.asarray(lp_r), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_r), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gt_m), np.asarray(gt_r), atol=1e-10)
+
+
+def test_mosaic_quad_trace_matches():
+    flow, params, x = _flow_and_batch("scale")
+    theta, unravel = score.flat_param_view(params)
+    f_ref = score.make_flat_log_prob(flow, unravel)
+    f_mos = lambda th, xi: persample.mosaic_log_prob(flow, unravel(th), xi)
+    dirs = jnp.eye(flow.dim, dtype=x.dtype)
+    q_r = jax.vmap(partial(score.quad_trace, f_ref, dirs=dirs),
+                   in_axes=(None, 0))(theta, x)
+    q_m = jax.vmap(partial(score.quad_trace, f_mos, dirs=dirs),
+                   in_axes=(None, 0))(theta, x)
+    np.testing.assert_allclose(np.asarray(q_m), np.asarray(q_r), atol=1e-9)
+
+
+def test_supports_gate():
+    flow, _, _ = _flow_and_batch("scale")
+    assert persample.supports(flow, np.eye(flow.dim), None)
+    assert persample.supports(flow, None, None)          # no Hessian needed
+    assert not persample.supports(flow, None, (0, 1))    # block mode
+    st, _ = build_flow(0, 4, depth=2, latent_name="Student_t")[0], None
+    assert not persample.supports(st, np.eye(4), None)   # Student-t latent
+
+
+@pytest.mark.parametrize("want_quad", [True, False])
+def test_kernel_interpret_matches_xla(want_quad):
+    """The full Pallas program (interpret mode) against the XLA per-sample
+    pipeline at f32 -- logp, coordinate score, Hessian quadratic trace, and
+    the (N, P) O-matrix."""
+    flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=12,
+                                      dtype=jnp.float32)
+    theta, unravel = score.flat_param_view(params)
+    dirs = np.eye(flow.dim, dtype=np.float32) if want_quad else None
+
+    run = persample.make_per_sample_pallas(
+        flow, unravel, int(theta.size), dirs, tile=4, interpret=True
+    )
+    lp_k, g_k, q_k, O_k = run(theta, x)
+
+    f = score.make_flat_log_prob(flow, unravel)
+    lp_r, g_r, O_r = jax.vmap(
+        partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
+    )(theta, x)
+    np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(O_k), np.asarray(O_r),
+                               rtol=2e-4, atol=2e-4)
+    if want_quad:
+        q_r = jax.vmap(
+            partial(score.quad_trace, f, dirs=jnp.asarray(dirs)),
+            in_axes=(None, 0),
+        )(theta, x)
+        np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_r),
+                                   rtol=2e-3, atol=2e-3)
+    else:
+        assert q_k is None
+
+
+def test_kernel_rejects_ragged_batch():
+    flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=10,
+                                      dtype=jnp.float32)
+    theta, unravel = score.flat_param_view(params)
+    run = persample.make_per_sample_pallas(
+        flow, unravel, int(theta.size), None, tile=4, interpret=True
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        run(theta, x)
