@@ -134,3 +134,36 @@ def test_kernel_rejects_ragged_batch():
     )
     with pytest.raises(ValueError, match="multiple of"):
         run(theta, x)
+
+
+def test_tdvp_rhs_pallas_matches_xla(ctx1):
+    """per_sample_backend='pallas' (interpret mode on CPU) must reproduce
+    the XLA-pipeline RHS update end to end on identical samples."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    st, t_xla = make_problem(ctx1, dim=2, n=2048,
+                             cfg=TDVPConfig(per_sample_backend="xla"))
+    _, t_pal = make_problem(ctx1, dim=2, n=2048,
+                            cfg=TDVPConfig(per_sample_backend="pallas"))
+    assert t_pal._ps_pallas is not None
+    key = jax.random.PRNGKey(5)
+    theta = st.get_parameters()
+    u1, a1 = t_xla.rhs(theta, 0.0, key)
+    u2, a2 = t_pal.rhs(theta, 0.0, key)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(a2["eloc_var"]), float(a1["eloc_var"]),
+                               rtol=1e-9)
+
+
+def test_tdvp_pallas_rejects_unsupported(ctx1, ctx8):
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    with pytest.raises(ValueError, match="single-device"):
+        make_problem(ctx8, dim=2, n=2048,
+                     cfg=TDVPConfig(per_sample_backend="pallas"))
+    with pytest.raises(ValueError, match="Gauss"):
+        make_problem(ctx1, dim=2, n=2048, latent_name="Student_t",
+                     cfg=TDVPConfig(per_sample_backend="pallas"))

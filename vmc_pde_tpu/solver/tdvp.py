@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels import persample
 from ..kernels.syrk import syrk as _syrk
 from ..models.state import VarState
 from ..ops import score
@@ -126,6 +127,15 @@ class TDVPConfig:
     # sample. "block": always the jvp-of-grad block (reference-shaped,
     # var_state.py:32). "auto" = trace whenever the equation allows it.
     hessian_mode: str = "auto"
+    # Per-sample pipeline backend. "xla": vmapped value_and_grad +
+    # quad_trace fused by XLA (the measured default). "pallas": the fused
+    # per-sample Pallas kernel (kernels/persample.py) -- forward flow,
+    # parameter/coordinate backward, and Hessian trace on a VMEM-resident
+    # sample tile, writing only the (tile, P) O block to HBM. Single-device
+    # meshes, Gauss latent, trace-mode Hessians (persample.supports);
+    # sample budgets must divide per_sample_tile. "auto" currently = xla.
+    per_sample_backend: str = "auto"
+    per_sample_tile: int = 256
     compute_snr: bool = True      # record per-mode SNR diagnostics
     compute_sexp: bool = False    # DENSE (P, P) SExp for the adaptive norm
     # Adaptive-stepper S-metric source. "none": whatever compute_sexp says.
@@ -597,6 +607,27 @@ class TDVP:
                     "block; hessian_mode='trace' is not available"
                 )
 
+        # Fused per-sample Pallas kernel (kernels/persample.py).
+        if cfg.per_sample_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"unknown per_sample_backend {cfg.per_sample_backend!r}")
+        self._ps_pallas = None
+        if cfg.per_sample_backend == "pallas":
+            if self.ctx.mesh.size > 1:
+                raise ValueError(
+                    "per_sample_backend='pallas' is a single-device kernel; "
+                    "use 'auto'/'xla' on multi-device meshes")
+            if not persample.supports(self.flow, self._hess_dirs,
+                                      self._hess_idx):
+                raise ValueError(
+                    "per_sample_backend='pallas' supports Gauss latents "
+                    "with trace-mode (or no) Hessians; use 'auto'/'xla'")
+            self._ps_pallas = persample.make_per_sample_pallas(
+                self.flow, unravel, self.n_params, self._hess_dirs,
+                tile=cfg.per_sample_tile,
+                interpret=jax.default_backend() != "tpu",
+            )
+
         # Fused MCMC sampling: the Metropolis chain loop traces INTO the
         # TDVP step programs with the chain state threaded through
         # dispatches (dp-sharded chains, sampler.make_chain_fn). MCMC
@@ -644,6 +675,10 @@ class TDVP:
     # ------------------------------------------------------------------
     def _per_sample_batch(self, theta_c, x, t):
         """x: (n, d) -> (logp (n,), Eloc (n,), O (n, P))."""
+        if self._ps_pallas is not None:
+            logp, g, quad, O = self._ps_pallas(theta_c, x)
+            hess = quad if self._hess_dirs is not None else None
+            return logp, self.equation.eloc(x, g, hess, t), O
         f = self._log_prob_flat
         logp, g, O = jax.vmap(
             partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
