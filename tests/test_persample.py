@@ -1,7 +1,7 @@
-"""Fused per-sample Pallas kernel (kernels/persample.py): the Mosaic
-re-expression of flow.log_prob must be bit-class-identical math to the
-XLA path, and the kernel (interpret mode on CPU) must reproduce the
-XLA per-sample pipeline's (logp, g, quad, O) outputs."""
+"""Fused per-sample Pallas kernel (kernels/persample.py): the hand-written
+tile-batched forward/backward must reproduce jax.grad's (logp, g, O) and
+quad_trace's Hessian quad exactly, and the kernel (interpret mode on CPU)
+must reproduce the XLA per-sample pipeline end to end."""
 
 from functools import partial
 
@@ -35,49 +35,38 @@ def _flow_and_batch(variant, global_affine=False, dim=6, depth=3, n=16,
 @pytest.mark.parametrize(
     "variant,ga",
     [("scale", False), ("affine", False), ("additive", False),
-     ("scale_shift", False), ("scale", True)],
+     ("scale_shift", False), ("scale", True), ("affine", True)],
 )
-def test_mosaic_log_prob_matches_flow(variant, ga):
+def test_hand_forward_backward_matches_autodiff(variant, ga):
+    """tile_value_and_grads (the kernel body's math, pure jnp) against the
+    XLA pipeline: logp, coordinate score, and the full (N, P) O-matrix."""
     flow, params, x = _flow_and_batch(variant, global_affine=ga)
-    ref = jax.vmap(flow.log_prob, in_axes=(None, 0))(params, x)
-    got = jax.vmap(partial(persample.mosaic_log_prob, flow),
-                   in_axes=(None, 0))(params, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-12, atol=1e-12)
-
-
-def test_mosaic_gradients_match_flow():
-    """Parameter and coordinate gradients of the re-expressed density agree
-    with the XLA path (the kernel differentiates mosaic_log_prob, so its
-    O-rows/score are only as good as this)."""
-    flow, params, x = _flow_and_batch("scale")
     theta, unravel = score.flat_param_view(params)
+    f = score.make_flat_log_prob(flow, unravel)
 
-    f_ref = score.make_flat_log_prob(flow, unravel)
-    f_mos = lambda th, xi: persample.mosaic_log_prob(flow, unravel(th), xi)
-
-    lp_r, gx_r, gt_r = jax.vmap(
-        partial(score.value_score_and_param_grad, f_ref), in_axes=(None, 0)
+    lp_r, g_r, O_r = jax.vmap(
+        partial(score.value_score_and_param_grad, f), in_axes=(None, 0)
     )(theta, x)
-    lp_m, gx_m, gt_m = jax.vmap(
-        partial(score.value_score_and_param_grad, f_mos), in_axes=(None, 0)
-    )(theta, x)
-    np.testing.assert_allclose(np.asarray(lp_m), np.asarray(lp_r), atol=1e-12)
-    np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_r), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(gt_m), np.asarray(gt_r), atol=1e-10)
+    lp_h, g_h, O_h = persample.tile_value_and_grads(flow, params, x)
+
+    np.testing.assert_allclose(np.asarray(lp_h), np.asarray(lp_r),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_r),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(O_h), np.asarray(O_r),
+                               rtol=1e-9, atol=1e-10)
 
 
-def test_mosaic_quad_trace_matches():
-    flow, params, x = _flow_and_batch("scale")
+def test_hand_quad_matches_quad_trace():
+    flow, params, x = _flow_and_batch("affine")
     theta, unravel = score.flat_param_view(params)
-    f_ref = score.make_flat_log_prob(flow, unravel)
-    f_mos = lambda th, xi: persample.mosaic_log_prob(flow, unravel(th), xi)
-    dirs = jnp.eye(flow.dim, dtype=x.dtype)
-    q_r = jax.vmap(partial(score.quad_trace, f_ref, dirs=dirs),
+    f = score.make_flat_log_prob(flow, unravel)
+    dirs = jnp.eye(flow.dim, dtype=x.dtype)[: flow.dim // 2]
+    q_r = jax.vmap(partial(score.quad_trace, f, dirs=dirs),
                    in_axes=(None, 0))(theta, x)
-    q_m = jax.vmap(partial(score.quad_trace, f_mos, dirs=dirs),
-                   in_axes=(None, 0))(theta, x)
-    np.testing.assert_allclose(np.asarray(q_m), np.asarray(q_r), atol=1e-9)
+    q_h = persample.tile_quad(flow, params, x, dirs)
+    np.testing.assert_allclose(np.asarray(q_h), np.asarray(q_r),
+                               rtol=1e-9, atol=1e-9)
 
 
 def test_supports_gate():
@@ -85,7 +74,7 @@ def test_supports_gate():
     assert persample.supports(flow, np.eye(flow.dim), None)
     assert persample.supports(flow, None, None)          # no Hessian needed
     assert not persample.supports(flow, None, (0, 1))    # block mode
-    st, _ = build_flow(0, 4, depth=2, latent_name="Student_t")[0], None
+    st = build_flow(0, 4, depth=2, latent_name="Student_t")[0]
     assert not persample.supports(st, np.eye(4), None)   # Student-t latent
 
 
@@ -100,7 +89,8 @@ def test_kernel_interpret_matches_xla(want_quad):
     dirs = np.eye(flow.dim, dtype=np.float32) if want_quad else None
 
     run = persample.make_per_sample_pallas(
-        flow, unravel, int(theta.size), dirs, tile=4, interpret=True
+        flow, unravel, int(theta.size), dirs, tile=4, interpret=True,
+        template=params,
     )
     lp_k, g_k, q_k, O_k = run(theta, x)
 
@@ -130,7 +120,8 @@ def test_kernel_rejects_ragged_batch():
                                       dtype=jnp.float32)
     theta, unravel = score.flat_param_view(params)
     run = persample.make_per_sample_pallas(
-        flow, unravel, int(theta.size), None, tile=4, interpret=True
+        flow, unravel, int(theta.size), None, tile=4, interpret=True,
+        template=params,
     )
     with pytest.raises(ValueError, match="multiple of"):
         run(theta, x)

@@ -135,7 +135,7 @@ class TDVPConfig:
     # meshes, Gauss latent, trace-mode Hessians (persample.supports);
     # sample budgets must divide per_sample_tile. "auto" currently = xla.
     per_sample_backend: str = "auto"
-    per_sample_tile: int = 256
+    per_sample_tile: int = 64
     compute_snr: bool = True      # record per-mode SNR diagnostics
     compute_sexp: bool = False    # DENSE (P, P) SExp for the adaptive norm
     # Adaptive-stepper S-metric source. "none": whatever compute_sexp says.
@@ -626,6 +626,7 @@ class TDVP:
                 self.flow, unravel, self.n_params, self._hess_dirs,
                 tile=cfg.per_sample_tile,
                 interpret=jax.default_backend() != "tpu",
+                template=state.params,
             )
 
         # Fused MCMC sampling: the Metropolis chain loop traces INTO the
