@@ -5,43 +5,56 @@ TPU kernel.
 The XLA per-sample pipeline (score.value_score_and_param_grad +
 score.quad_trace, vmapped; SURVEY.md section 7 Pallas item (1)) is
 memory/latency-bound, not FLOP-bound: the flagship d=32 flow's conditioner
-matmuls are (N, 16) x (16, 16) slivers, and XLA materializes every
-activation, tangent, and cotangent of the ~70 tiny ops in HBM between
-fusions (~73 ms of a ~470 ms RHS at N=131,072 against a ~6 ms
-speed-of-light bound set by the (N, P) O write). This kernel runs the
-whole per-sample computation -- forward flow, parameter/coordinate
-backward, and the forward-over-forward Hessian trace -- on a
-VMEM-resident tile of C samples, so the only HBM traffic is the x tile in
-and the (C, P) O tile out.
+matmuls are 16-wide slivers, and XLA materializes every activation,
+tangent, and cotangent of the ~70 tiny ops in HBM between fusions. This
+kernel runs the whole per-sample computation -- forward flow,
+parameter/coordinate backward, and the forward-over-forward Hessian
+trace -- on a VMEM-resident tile of m samples, so the only HBM traffic is
+the x tile in and the (P, m) O tile out.
 
-Design notes (what Mosaic can and cannot lower dictated the shape):
+LAYOUT IS THE WHOLE GAME: every per-sample array inside the kernel is
+FEATURE-MAJOR, shape (features, m), so the SAMPLES fill the 128-wide lane
+dimension. In the natural (m, features) orientation each 16-wide
+activation uses 16 of 128 lanes -- an 8x tax on every VPU op and on VMEM
+footprint that a tile sweep measured as a flat 27 ms plateau; transposed,
+the same ops run full-lane and the weight-gradient slabs land directly in
+the (P, m) O tile. The wrapper feeds x transposed and returns ``O_T.T``
+-- a logical transpose XLA folds into the consuming dot_generals for
+free.
 
-- Parameter leaves enter the kernel as separate natural-shape INPUTS
-  (flat-theta unraveling in-kernel needs (P,) -> (in, out) shape casts
-  Mosaic rejects). The latent packed-Cholesky vector is pre-scattered to
-  a strictly-upper (d, d) matrix OUTSIDE the kernel; its O-columns are
-  assembled analytically inside.
+Mosaic lowering constraints that shaped the rest (each was a measured
+compile failure, see git history):
+
+- Parameter leaves enter as separate natural-shape INPUTS (flat-theta
+  unraveling in-kernel needs (P,) -> (in, out) shape casts Mosaic
+  rejects; ravel_pytree's unravel also emits a zero-size split for the
+  Gauss latent's empty ``dist_params``). The latent packed-Cholesky
+  vector is pre-scattered to a (d, d) matrix OUTSIDE the kernel.
 - The theta-backward is HAND-WRITTEN, tile-batched, all 2-D: reverse-mode
-  AD of per-sample parameter gradients emits vmapped outer products
-  (dot_general with empty contracting dims) and 3-D cotangent tensors,
-  neither of which Mosaic lowers; the hand backward builds each weight
-  slab as a lane-concat of x_i-scaled cotangent columns instead. The
-  coordinate score g falls out of the same backward sweep for free.
+  AD of per-sample parameter gradients emits batched outer products
+  (dot_general with empty contracting dims) and 3-D cotangents, neither
+  of which Mosaic lowers. Each weight slab is built by _outer_rows --
+  sublane repeat/tile relayouts, exact and matmul-free. The coordinate
+  score g falls out of the same backward sweep for free.
 - The Hessian quadratic trace stays on AD, but pure FORWARD-mode
   (jvp-of-jvp emits no transposes): directions are folded into the
-  sample (sublane) axis -- one jvp^2 pass over a (k*C, d) batch of
-  repeated tiles, full lane utilization, no 3-D tangents.
+  sample (lane) axis -- one jvp^2 pass over a (d, k*m) batch.
 - The latent Mahalanobis triangular solve becomes multiplication by the
   EXACT inverse factor: U = D(I - B) with B nilpotent, so
   U^{-1} = (sum_{k<dim} B^k) D^{-1}, summed in log2(dim) doubling steps.
 - Static coordinate split/merge (coupling.py's ``x[ind_up]`` gathers and
-  inverse-perm regather) become matmuls with static 0/1 selection
-  matrices at Precision.HIGHEST, passed as kernel inputs (Mosaic cannot
+  inverse-perm regather) are matmuls with static 0/1 selection matrices
+  at Precision.HIGHEST, passed as kernel inputs (Mosaic cannot
   materialize captured array constants).
-- Numerics: identical math to flow.log_prob at f32 (conditioner matmuls
-  keep the XLA path's DEFAULT precision); tests pin logp/g/quad/O
-  against the XLA pipeline, and the hand fwd/bwd -- which are plain jnp
-  functions usable OUTSIDE Pallas -- against jax.grad directly.
+- Index-map int literals are i32 (under x64 a literal 0 traces as i64
+  and the mixed return fails 'func.return' legalization); the scoped
+  VMEM limit is raised via CompilerParams (the 16 MB default is a
+  compiler flag, not the chip's physical VMEM).
+
+Numerics: identical math to flow.log_prob at f32 (conditioner matmuls
+keep the XLA path's DEFAULT precision); tests pin logp/g/quad/O against
+the XLA pipeline, and the hand fwd/bwd -- plain jnp functions usable
+OUTSIDE Pallas -- against jax.grad directly on every coupling variant.
 
 Scope (checked by ``supports``): Gauss latent (Student-t needs ``gammaln``
 of two traced scalars -- not a Mosaic-supported transcendental), any
@@ -63,11 +76,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# sample-tile height: 64 rows keeps the (C, P) O tile at ~2.4 MB for the
-# flagship P=9264 -- the kernel's scoped-VMEM peak (saved activations +
-# live slabs + the O assembly) must fit the 16 MB budget; 128 was measured
-# 1 MB over it
-DEFAULT_TILE = 64
+# sample-tile width (lane axis): 256 keeps the (P, m) O tile at ~9.5 MB
+# for the flagship P=9264 under the raised VMEM limit
+DEFAULT_TILE = 256
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -77,93 +88,77 @@ def _mm(a, b, precision=None):
     return jnp.matmul(a, b, precision=precision)
 
 
-def _mm_nt(a, b, precision=None):
-    """a @ b.T without a transpose op (dot_general on b's dim 1)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+def _mm_tn(a, b, precision=None):
+    """a.T @ b without a transpose op (dot_general on both dim 0)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                precision=precision)
 
 
 def _selection_matrix(idx, dim, dtype=jnp.float32):
-    """Static (k, dim) 0/1 matrix S with x @ S.T == x[:, idx]."""
+    """Static (k, dim) 0/1 matrix S with S @ z == z[idx] columns."""
     m = np.zeros((len(idx), dim), dtype=np.float32)
     m[np.arange(len(idx)), np.asarray(idx)] = 1.0
     return jnp.asarray(m, dtype)
 
 
-def _packed_embed_matrix(dim, dtype=jnp.float32):
-    """Static (dim*dim, n_off) 0/1 matrix E selecting the strictly-upper
-    entries (np.triu_indices(dim, 1) order) out of a row-major-flattened
-    (dim, dim) slab: slab_L = slab_U_full @ E."""
+def _packed_pair_matrices(dim, dtype=jnp.float32):
+    """Static (n_off, dim) 0/1 selection pair (Ri, Rj) with
+    Ri[k, iu0[k]] = Rj[k, iu1[k]] = 1 for the k-th strictly-upper entry
+    (np.triu_indices(dim, 1) order): the packed-L gradient slab is
+    (Ri @ wty) * (Rj @ ylat) -- two (n_off, d) sliver matmuls instead of
+    materializing the full (d*d, m) outer product and selecting with a
+    (n_off, d*d) matmul (16x the FLOPs at d=32)."""
     iu = np.triu_indices(dim, k=1)
-    flat_idx = iu[0] * dim + iu[1]
-    E = np.zeros((dim * dim, len(flat_idx)), dtype=np.float32)
-    E[flat_idx, np.arange(len(flat_idx))] = 1.0
-    return jnp.asarray(E, dtype)
+    n_off = len(iu[0])
+    Ri = np.zeros((n_off, dim), dtype=np.float32)
+    Rj = np.zeros((n_off, dim), dtype=np.float32)
+    Ri[np.arange(n_off), iu[0]] = 1.0
+    Rj[np.arange(n_off), iu[1]] = 1.0
+    return jnp.asarray(Ri, dtype), jnp.asarray(Rj, dtype)
 
 
-def _repeat_mats(in_dim, out_dim, dtype=jnp.float32):
-    """Static replication matrices for the Mosaic-safe per-sample outer
-    product: with Rh (in, in*out), Rh[i, i*out+o] = 1 and Ra (out, in*out),
-    Ra[o, i*out+o] = 1, the row-major per-sample weight gradient is
-    (h @ Rh) * (abar @ Ra) -- two sliver matmuls and one multiply with
-    full-lane (m, in*out) results, instead of a concat of lane-padded
-    16-wide pieces (measured 45 MB over the scoped-VMEM budget)."""
-    Rh = np.zeros((in_dim, in_dim * out_dim), dtype=np.float32)
-    Ra = np.zeros((out_dim, in_dim * out_dim), dtype=np.float32)
-    for i in range(in_dim):
-        Rh[i, i * out_dim:(i + 1) * out_dim] = 1.0
-        for o in range(out_dim):
-            Ra[o, i * out_dim + o] = 1.0
-    return jnp.asarray(Rh, dtype), jnp.asarray(Ra, dtype)
-
-
-def _layer_dim_pairs(flow):
-    """Sorted unique (in, out) dims across all conditioner layers plus the
-    latent (d, d) outer product."""
-    pairs = {(flow.dim, flow.dim)}
-    for spec in flow.blocks:
-        n_up, n_down = len(spec.ind_up), len(spec.ind_down)
-        for in_d, out_d in ((n_down, n_up), (n_up, n_down)):
-            dims = [in_d, *spec.hidden, out_d]
-            pairs.update(zip(dims[:-1], dims[1:]))
-    return sorted(pairs)
+def _outer_rows(h, abar):
+    """Row-major per-sample outer product in feature-major layout:
+    rows[i*out+o, s] = h[i, s] * abar[o, s], shape (in*out, m). Built
+    from pure sublane relayouts -- repeat h's rows out times and tile
+    abar in times -- which are EXACT (no matmul rounding) and free of
+    the batched outer-product dot_general Mosaic rejects."""
+    out_dim = abar.shape[0]
+    in_dim = h.shape[0]
+    h_rep = jnp.repeat(h, out_dim, axis=0)
+    a_rep = (abar if in_dim == 1
+             else jnp.concatenate([abar] * in_dim, axis=0))
+    return h_rep * a_rep
 
 
 def flow_consts(flow, dtype=jnp.float32):
     """Static kernel inputs, as a flat tuple (Pallas forbids captured
     array constants in kernel bodies): per-block (Su, Sd) selection
-    matrices, the latent offset, the packed-Cholesky column selector, and
-    (Rh, Ra) replication pairs for every distinct layer shape."""
+    matrices, the latent offset, and the packed-Cholesky (row, col)
+    selection pair."""
     out = []
     for spec in flow.blocks:
         out.append(_selection_matrix(spec.ind_up, flow.dim, dtype))
         out.append(_selection_matrix(spec.ind_down, flow.dim, dtype))
     out.append(jnp.asarray(flow.offset_array, dtype))
-    out.append(_packed_embed_matrix(flow.dim, dtype))
-    for in_d, out_d in _layer_dim_pairs(flow):
-        out.extend(_repeat_mats(in_d, out_d, dtype))
+    out.extend(_packed_pair_matrices(flow.dim, dtype))
     return tuple(out)
 
 
 def split_consts(flow, consts):
-    """(sel pairs, offset, epack, rep dict) from the flow_consts tuple."""
+    """(sel pairs, offset, (Ri, Rj)) from the flow_consts tuple."""
     B = len(flow.blocks)
     sel = [(consts[2 * i], consts[2 * i + 1]) for i in range(B)]
     off = consts[2 * B]
-    epack = consts[2 * B + 1]
-    rep = {}
-    pos = 2 * B + 2
-    for pair in _layer_dim_pairs(flow):
-        rep[pair] = (consts[pos], consts[pos + 1])
-        pos += 2
-    return sel, off, epack, rep
+    lsel = (consts[2 * B + 1], consts[2 * B + 2])
+    return sel, off, lsel
 
 
 def kernel_param_tree(flow, params):
     """The parameter pytree the kernel consumes: the blocks as-is, the
     latent with the packed strictly-upper vector L pre-scattered to a
     (d, d) matrix (the in-kernel scatter is not Mosaic-lowerable; the
-    O-columns for L are assembled analytically from the factor instead).
+    O-rows for L are assembled analytically from the factor instead).
     Runs OUTSIDE the kernel (plain XLA)."""
     d = flow.dim
     lat = params["latent"]
@@ -176,40 +171,38 @@ def kernel_param_tree(flow, params):
 
 
 # ---------------------------------------------------------------------------
-# Hand-written tile-batched forward/backward (plain jnp: testable on CPU,
-# lowerable by Mosaic).
+# Hand-written tile-batched forward/backward, FEATURE-MAJOR: every
+# per-sample array is (features, m) with samples on the lane axis.
+# Plain jnp: testable on CPU, lowerable by Mosaic.
 # ---------------------------------------------------------------------------
 
-def _mlp_fwd(net, x, alpha):
-    """Tile-batched mlp.apply with saved activations for the backward.
-    x: (m, in) -> (y (m, out), saves = [(h_in, tanh_a) per layer])."""
+def _mlp_fwd(net, h, alpha):
+    """Feature-major mlp.apply with saved activations for the backward.
+    h: (in, m) -> (y (out, m), saves = [(h_in, tanh_a) per layer])."""
     ws, bs = net["w"], net["b"]
     saves = []
-    h = x
     for w, b in zip(ws[:-1], bs[:-1]):
-        t = jnp.tanh(_mm(h, w) + b[None, :])
+        t = jnp.tanh(_mm_tn(w, h) + b[:, None])
         saves.append((h, t))
         h = t
-    t_last = jnp.tanh(_mm(h, ws[-1]) + bs[-1][None, :])
+    t_last = jnp.tanh(_mm_tn(ws[-1], h) + bs[-1][:, None])
     saves.append((h, t_last))
     return alpha * t_last, saves
 
 
-def _mlp_plain(net, x, alpha):
+def _mlp_plain(net, h, alpha):
     """Save-free forward (the jvp^2 quad primal)."""
     ws, bs = net["w"], net["b"]
-    h = x
     for w, b in zip(ws[:-1], bs[:-1]):
-        h = jnp.tanh(_mm(h, w) + b[None, :])
-    return alpha * jnp.tanh(_mm(h, ws[-1]) + bs[-1][None, :])
+        h = jnp.tanh(_mm_tn(w, h) + b[:, None])
+    return alpha * jnp.tanh(_mm_tn(ws[-1], h) + bs[-1][:, None])
 
 
-def _mlp_bwd(net, saves, ybar, alpha, rep):
-    """Backward through _mlp_fwd. Returns (xbar (m, in), slabs) where
-    slabs = {"b": [(m, out_l)...], "w": [(m, in_l*out_l)...]} -- each
-    weight slab is the PER-SAMPLE gradient flattened row-major via the
-    ``rep`` replication matmuls (the Mosaic-safe, full-lane outer
-    product; see _repeat_mats)."""
+def _mlp_bwd(net, saves, ybar, alpha):
+    """Backward through _mlp_fwd. Returns (xbar (in, m), slabs) where
+    slabs = {"b": [(out_l, m)...], "w": [(in_l*out_l, m)...]} -- each
+    weight slab holds the row-major per-sample gradient as O-tile rows,
+    built by _outer_rows relayouts."""
     ws = net["w"]
     n = len(ws)
     wslabs = [None] * n
@@ -220,9 +213,8 @@ def _mlp_bwd(net, saves, ybar, alpha, rep):
     for layer in range(n - 1, -1, -1):
         h_in, t = saves[layer]
         bslabs[layer] = abar
-        Rh, Ra = rep[(h_in.shape[1], abar.shape[1])]
-        wslabs[layer] = _mm(h_in, Rh, _HI) * _mm(abar, Ra, _HI)
-        xbar = _mm_nt(abar, ws[layer])
+        wslabs[layer] = _outer_rows(h_in, abar)
+        xbar = _mm(ws[layer], abar)
         if layer > 0:
             _, t_prev = saves[layer - 1]
             abar = xbar * (1.0 - t_prev * t_prev)
@@ -230,7 +222,7 @@ def _mlp_bwd(net, saves, ybar, alpha, rep):
 
 
 def _couple_f(u, s, t, es, variant):
-    """Tile-batched coupling._couple_fwd with the exp precomputed."""
+    """Coupling half-update (elementwise; layout-agnostic)."""
     if variant == "additive":
         return u + s
     if variant == "affine":
@@ -276,14 +268,14 @@ def _latent_factor(lat, dim):
 
 
 def _forward(kt, specs, sel, off, X):
-    """Hand forward pass over a sample tile X (m, d). Returns
-    (logp (m,), saves) with everything the backward needs."""
+    """Hand forward pass over a feature-major sample tile X (d, m).
+    Returns (logp (m,), saves, saves_lat)."""
     z = X
-    logjac = jnp.zeros((X.shape[0],), X.dtype)
+    logjac = jnp.zeros((X.shape[1],), X.dtype)
     saves = []
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
-        u1 = _mm_nt(z, Su, _HI)
-        u2 = _mm_nt(z, Sd, _HI)
+        u1 = _mm(Su, z, _HI)
+        u2 = _mm(Sd, z, _HI)
         s2, sv_s2 = _mlp_fwd(p["s2"], u2, spec.alpha)
         es2 = jnp.exp(s2)
         t2, sv_t2 = (_mlp_fwd(p["t2"], u2, spec.alpha)
@@ -294,11 +286,11 @@ def _forward(kt, specs, sel, off, X):
         t1, sv_t1 = (_mlp_fwd(p["t1"], v1, spec.alpha)
                      if spec.variant == "affine" else (None, None))
         v2 = _couple_f(u2, s1, t1, es1, spec.variant)
-        ym = _mm(v1, Su, _HI) + _mm(v2, Sd, _HI)
+        ym = _mm_tn(Su, v1, _HI) + _mm_tn(Sd, v2, _HI)
         if spec.variant != "additive":
-            logjac = logjac + jnp.sum(s1, axis=1) + jnp.sum(s2, axis=1)
+            logjac = logjac + jnp.sum(s1, axis=0) + jnp.sum(s2, axis=0)
         if spec.global_affine:
-            z = p["g_scale"][None, :] * ym + p["g_offset"][None, :]
+            z = p["g_scale"][:, None] * ym + p["g_offset"][:, None]
             logjac = logjac + spec.dim * jnp.log(p["g_scale"][0])
         else:
             z = ym
@@ -307,20 +299,20 @@ def _forward(kt, specs, sel, off, X):
                           sv_t1=sv_t1, sv_t2=sv_t2))
 
     lat = kt["latent"]
-    dim = X.shape[1]
+    dim = X.shape[0]
     W, dvec = _latent_factor(lat, dim)
-    zc = z - off[None, :] - lat["mu"][None, :]
-    ylat = _mm_nt(zc, W, _HI)
-    quadv = jnp.sum(ylat * ylat, axis=1)
+    zc = z - off[:, None] - lat["mu"][:, None]
+    ylat = _mm(W, zc, _HI)
+    quadv = jnp.sum(ylat * ylat, axis=0)
     logp = (-0.5 * (dim * math.log(2.0 * math.pi)
                     + 2.0 * jnp.sum(lat["L_diag"]) + quadv) + logjac)
     saves_lat = dict(W=W, dvec=dvec, ylat=ylat)
     return logp, saves, saves_lat
 
 
-def _backward(kt, specs, sel, saves, saves_lat, rep, epack):
-    """Hand backward pass: (g = dlogp/dx (m, d), slabs dict keyed by
-    normalized template path -> (m, leaf_size) per-sample gradients)."""
+def _backward(kt, specs, sel, saves, saves_lat, lsel):
+    """Hand backward pass: (g = dlogp/dx (d, m), slabs dict keyed by
+    normalized template path -> (leaf_size, m) per-sample O-tile rows)."""
     lat = kt["latent"]
     W, dvec, ylat = saves_lat["W"], saves_lat["dvec"], saves_lat["ylat"]
     dim = W.shape[0]
@@ -328,59 +320,59 @@ def _backward(kt, specs, sel, saves, saves_lat, rep, epack):
 
     # Latent analytics: q = ||W zc||^2, dlp/dU[i,j] = (W^T y)_i y_j,
     # dlp/dld_i = dlp/dU[i,i] e^{ld_i} - 1, dlp/dmu = W^T y, dlp/dz = -W^T y.
-    wty = _mm(ylat, W, _HI)  # rows = (W^T y)^T per sample
+    wty = _mm_tn(W, ylat, _HI)  # (d, m)
     slabs[("latent", "mu")] = wty
-    slabs[("latent", "L_diag")] = wty * ylat * dvec[None, :] - 1.0
-    Rh, Ra = rep[(dim, dim)]
-    slab_u_full = _mm(wty, Rh, _HI) * _mm(ylat, Ra, _HI)  # (m, d*d)
-    slabs[("latent", "L")] = _mm(slab_u_full, epack, _HI)
+    slabs[("latent", "L_diag")] = wty * ylat * dvec[:, None] - 1.0
+    Ri, Rj = lsel
+    slabs[("latent", "L")] = _mm(Ri, wty, _HI) * _mm(Rj, ylat, _HI)
     zbar = -wty
 
     for bi in range(len(specs) - 1, -1, -1):
         p, spec, (Su, Sd), sv = kt["blocks"][bi], specs[bi], sel[bi], saves[bi]
         if spec.global_affine:
             slabs[("blocks", bi, "g_scale")] = (
-                jnp.sum(sv["ym"] * zbar, axis=1, keepdims=True)
+                jnp.sum(sv["ym"] * zbar, axis=0, keepdims=True)
                 + spec.dim / p["g_scale"][0]
             )
             slabs[("blocks", bi, "g_offset")] = zbar
-            ymbar = zbar * p["g_scale"][None, :]
+            ymbar = zbar * p["g_scale"][:, None]
         else:
             ymbar = zbar
-        v1bar = _mm_nt(ymbar, Su, _HI)
-        v2bar = _mm_nt(ymbar, Sd, _HI)
+        v1bar = _mm(Su, ymbar, _HI)
+        v2bar = _mm(Sd, ymbar, _HI)
 
         s1bar, t1bar, u2bar = _couple_b(
             v2bar, sv["u2"], sv["s1"], sv["es1"], spec.variant)
-        xb, sl = _mlp_bwd(p["s1"], sv["sv_s1"], s1bar, spec.alpha, rep)
+        xb, sl = _mlp_bwd(p["s1"], sv["sv_s1"], s1bar, spec.alpha)
         v1bar = v1bar + xb
         slabs[("blocks", bi, "s1")] = sl
         if spec.variant == "affine":
-            xb, sl = _mlp_bwd(p["t1"], sv["sv_t1"], t1bar, spec.alpha, rep)
+            xb, sl = _mlp_bwd(p["t1"], sv["sv_t1"], t1bar, spec.alpha)
             v1bar = v1bar + xb
             slabs[("blocks", bi, "t1")] = sl
 
         s2bar, t2bar, u1bar = _couple_b(
             v1bar, sv["u1"], sv["s2"], sv["es2"], spec.variant)
-        xb, sl = _mlp_bwd(p["s2"], sv["sv_s2"], s2bar, spec.alpha, rep)
+        xb, sl = _mlp_bwd(p["s2"], sv["sv_s2"], s2bar, spec.alpha)
         u2bar = u2bar + xb
         slabs[("blocks", bi, "s2")] = sl
         if spec.variant == "affine":
-            xb, sl = _mlp_bwd(p["t2"], sv["sv_t2"], t2bar, spec.alpha, rep)
+            xb, sl = _mlp_bwd(p["t2"], sv["sv_t2"], t2bar, spec.alpha)
             u2bar = u2bar + xb
             slabs[("blocks", bi, "t2")] = sl
 
-        zbar = _mm(u1bar, Su, _HI) + _mm(u2bar, Sd, _HI)
+        zbar = _mm_tn(Su, u1bar, _HI) + _mm_tn(Sd, u2bar, _HI)
     return zbar, slabs
 
 
 def _tile_logp(kt, specs, sel, off, X):
-    """Save-free primal for the jvp^2 Hessian quad (theta constant)."""
+    """Save-free feature-major primal for the jvp^2 Hessian quad
+    (theta constant). X: (d, m) -> (m,)."""
     z = X
-    logjac = jnp.zeros((X.shape[0],), X.dtype)
+    logjac = jnp.zeros((X.shape[1],), X.dtype)
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
-        u1 = _mm_nt(z, Su, _HI)
-        u2 = _mm_nt(z, Sd, _HI)
+        u1 = _mm(Su, z, _HI)
+        u2 = _mm(Sd, z, _HI)
         s2 = _mlp_plain(p["s2"], u2, spec.alpha)
         t2 = (_mlp_plain(p["t2"], u2, spec.alpha)
               if spec.variant == "affine" else None)
@@ -389,32 +381,33 @@ def _tile_logp(kt, specs, sel, off, X):
         t1 = (_mlp_plain(p["t1"], v1, spec.alpha)
               if spec.variant == "affine" else None)
         v2 = _couple_f(u2, s1, t1, jnp.exp(s1), spec.variant)
-        z = _mm(v1, Su, _HI) + _mm(v2, Sd, _HI)
+        z = _mm_tn(Su, v1, _HI) + _mm_tn(Sd, v2, _HI)
         if spec.variant != "additive":
-            logjac = logjac + jnp.sum(s1, axis=1) + jnp.sum(s2, axis=1)
+            logjac = logjac + jnp.sum(s1, axis=0) + jnp.sum(s2, axis=0)
         if spec.global_affine:
-            z = p["g_scale"][None, :] * z + p["g_offset"][None, :]
+            z = p["g_scale"][:, None] * z + p["g_offset"][:, None]
             logjac = logjac + spec.dim * jnp.log(p["g_scale"][0])
     lat = kt["latent"]
-    dim = X.shape[1]
+    dim = X.shape[0]
     W, _ = _latent_factor(lat, dim)
-    zc = z - off[None, :] - lat["mu"][None, :]
-    ylat = _mm_nt(zc, W, _HI)
+    zc = z - off[:, None] - lat["mu"][:, None]
+    ylat = _mm(W, zc, _HI)
     return (-0.5 * (dim * math.log(2.0 * math.pi)
                     + 2.0 * jnp.sum(lat["L_diag"])
-                    + jnp.sum(ylat * ylat, axis=1)) + logjac)
+                    + jnp.sum(ylat * ylat, axis=0)) + logjac)
 
 
 def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int):
     """sum_j v_j^T H v_j per sample via ONE forward-over-forward jvp pass
-    with the k directions folded into the sample (sublane) axis: repeat
-    the tile k times, give row block j the tangent v_j, sum the blocks.
-    Pure forward-mode -- no AD transposes for Mosaic to choke on."""
-    m = X.shape[0]
-    x_rep = jnp.concatenate([X] * k_dirs, axis=0)
+    with the k directions folded into the sample (lane) axis: repeat the
+    tile k times, give lane block j the tangent v_j, sum the blocks.
+    Pure forward-mode -- no AD transposes for Mosaic to choke on.
+    X: (d, m), dirs: (k, d) -> (m,)."""
+    m = X.shape[1]
+    x_rep = jnp.concatenate([X] * k_dirs, axis=1)
     v_rep = jnp.concatenate(
-        [jnp.broadcast_to(dirs[j:j + 1, :], (m, X.shape[1]))
-         for j in range(k_dirs)], axis=0)
+        [jnp.broadcast_to(dirs[j:j + 1, :].T, (X.shape[0], m))
+         for j in range(k_dirs)], axis=1)
 
     def f(xv):
         return _tile_logp(kt, specs, sel, off, xv)
@@ -430,7 +423,7 @@ def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int):
 
 
 # ---------------------------------------------------------------------------
-# Pure-jnp public wrappers (tests; also usable as an XLA path).
+# O-tile assembly in ravel_pytree order.
 # ---------------------------------------------------------------------------
 
 def _norm_path(path):
@@ -466,31 +459,36 @@ def _lookup_slab(slabs, path):
 
 
 def assemble_O(slabs, order):
-    """Concatenate per-leaf slabs into the (m, P) O tile in ravel order."""
+    """Concatenate per-leaf slabs into the (P, m) O tile in ravel order
+    (sublane concat: 8-granular, no lane padding)."""
     pieces = []
     for path, size in order:
         if size == 0:
             continue
         pieces.append(_lookup_slab(slabs, path))
-    return jnp.concatenate(pieces, axis=1)
+    return jnp.concatenate(pieces, axis=0)
 
+
+# ---------------------------------------------------------------------------
+# Pure-jnp public wrappers (tests; sample-major at the boundary).
+# ---------------------------------------------------------------------------
 
 def tile_value_and_grads(flow, params, x):
     """Pure-jnp hand fwd+bwd over a batch: (logp (N,), g (N, d), O (N, P)).
     Exactly the computation the Pallas kernel body runs (the kernel wraps
     this tile-by-tile); runs anywhere, pinned against jax.grad in tests."""
     kt = kernel_param_tree(flow, params)
-    sel, off, epack, rep = split_consts(flow, flow_consts(flow, x.dtype))
-    logp, saves, saves_lat = _forward(kt, flow.blocks, sel, off, x)
-    g, slabs = _backward(kt, flow.blocks, sel, saves, saves_lat, rep, epack)
-    return logp, g, assemble_O(slabs, _slab_order(params))
+    sel, off, lsel = split_consts(flow, flow_consts(flow, x.dtype))
+    logp, saves, saves_lat = _forward(kt, flow.blocks, sel, off, x.T)
+    g, slabs = _backward(kt, flow.blocks, sel, saves, saves_lat, lsel)
+    return logp, g.T, assemble_O(slabs, _slab_order(params)).T
 
 
 def tile_quad(flow, params, x, dirs):
     """Pure-jnp folded-direction Hessian quad (N,)."""
     kt = kernel_param_tree(flow, params)
-    sel, off, _, _ = split_consts(flow, flow_consts(flow, x.dtype))
-    return _tile_quad(kt, flow.blocks, sel, off, x,
+    sel, off, _ = split_consts(flow, flow_consts(flow, x.dtype))
+    return _tile_quad(kt, flow.blocks, sel, off, x.T,
                       jnp.asarray(dirs, x.dtype), int(np.shape(dirs)[0]))
 
 
@@ -517,7 +515,9 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     N must be a multiple of ``tile`` (TDVP budgets are rounded to much
     coarser multiples already). ``interpret=True`` runs the interpreter
     (CI on CPU). ``template``: the params pytree whose ravel layout
-    defines theta (required)."""
+    defines theta (required). The returned O is a logical transpose of
+    the kernel's (P, N) output -- XLA folds it into the consuming
+    dot_generals."""
     if template is None:
         raise ValueError("make_per_sample_pallas needs the params template")
     dim = flow.dim
@@ -529,7 +529,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     kt_template = kernel_param_tree(flow, template)
     kleaves_t, ktreedef = jax.tree_util.tree_flatten(kt_template)
     n_leaves = len(kleaves_t)
-    n_consts = 2 * len(specs) + 2 + 2 * len(_layer_dim_pairs(flow))
+    n_consts = 2 * len(specs) + 3
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -540,18 +540,18 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
 
         kt = jax.tree_util.tree_unflatten(
             ktreedef, [r[:] for r in leaf_refs])
-        sel, off, epack, rep = split_consts(
+        sel, off, lsel = split_consts(
             flow, tuple(r[:] for r in const_refs))
-        X = x_ref[:]
+        X = x_ref[:]  # (d, m)
 
         logp, saves, saves_lat = _forward(kt, specs, sel, off, X)
-        g, slabs = _backward(kt, specs, sel, saves, saves_lat, rep, epack)
-        logp_ref[:] = logp[:, None]
+        g, slabs = _backward(kt, specs, sel, saves, saves_lat, lsel)
+        logp_ref[:] = logp[None, :]
         g_ref[:] = g
         o_ref[:] = assemble_O(slabs, order)
         if want_quad:
             quad = _tile_quad(kt, specs, sel, off, X, dirs_ref[:], k_dirs)
-            quad_ref[:] = quad[:, None]
+            quad_ref[:] = quad[None, :]
         else:
             quad_ref[:] = jnp.zeros_like(quad_ref)
 
@@ -581,38 +581,37 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
             extra.append(dirs)
             extra_specs.append(full_spec(dirs.shape))
         grid = (n // tile,)
-        logp, g, quad, O = pl.pallas_call(
+        logp, g, quad, OT = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile, dim), lambda i: (i, _z),
+                pl.BlockSpec((dim, tile), lambda i: (_z, i),
                              memory_space=pltpu.VMEM),
                 *extra_specs,
             ],
             out_specs=[
-                pl.BlockSpec((tile, 1), lambda i: (i, _z),
+                pl.BlockSpec((1, tile), lambda i: (_z, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, dim), lambda i: (i, _z),
+                pl.BlockSpec((dim, tile), lambda i: (_z, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, 1), lambda i: (i, _z),
+                pl.BlockSpec((1, tile), lambda i: (_z, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, n_params), lambda i: (i, _z),
+                pl.BlockSpec((n_params, tile), lambda i: (_z, i),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n, 1), x.dtype),
-                jax.ShapeDtypeStruct((n, dim), x.dtype),
-                jax.ShapeDtypeStruct((n, 1), x.dtype),
-                jax.ShapeDtypeStruct((n, n_params), x.dtype),
+                jax.ShapeDtypeStruct((1, n), x.dtype),
+                jax.ShapeDtypeStruct((dim, n), x.dtype),
+                jax.ShapeDtypeStruct((1, n), x.dtype),
+                jax.ShapeDtypeStruct((n_params, n), x.dtype),
             ],
-            # the default scoped-vmem flag is 16 MB; the body's live set
-            # (saves + slabs + the O assembly) peaks at ~19 MB per 64-row
-            # tile -- raise the limit toward the chip's physical VMEM
+            # the default scoped-vmem flag is 16 MB; the (P, m) O tile
+            # plus saves need more -- raise toward physical VMEM
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(x, *extra)
-        return (logp[:, 0], g,
-                quad[:, 0] if want_quad else None, O)
+        )(x.T, *extra)
+        return (logp[0], g.T,
+                quad[0] if want_quad else None, OT.T)
 
     return run
