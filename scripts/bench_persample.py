@@ -121,6 +121,9 @@ def main(argv=None):
                     help="also time the full RHS for both backends")
     ap.add_argument("--backend", choices=["both", "xla", "pallas"],
                     default="both")
+    ap.add_argument("--probe-noquad", action="store_true",
+                    help="also time the raw pallas kernel without the "
+                         "Hessian quad (isolates the jvp^2 share)")
     args = ap.parse_args(argv)
 
     import jax
@@ -138,6 +141,44 @@ def main(argv=None):
         if args.rhs:
             results[f"{backend}_rhs"] = time_rhs(
                 state, tdvp, label=f"rhs[{backend}]")
+
+    if args.probe_noquad:
+        import jax
+        import jax.numpy as jnp
+
+        from vmc_pde_tpu.kernels import persample
+        from vmc_pde_tpu.ops import score
+
+        state, tdvp = build(args.dim, args.depth, args.samples,
+                            "xla", args.tile)
+        theta0 = jnp.asarray(state.get_parameters(),
+                             tdvp.precision.compute)
+        n, d = tdvp.n_samples, state.dim
+        key = jax.random.PRNGKey(0)
+        for tag, dirs in (("noquad", None),
+                          ("quad", tdvp._hess_dirs)):
+            run = persample.make_per_sample_pallas(
+                state.flow, tdvp._unravel, state.numParameters, dirs,
+                tile=args.tile, template=state.params)
+
+            def body(i, acc, run=run):
+                x = jax.random.normal(jax.random.fold_in(key, i), (n, d),
+                                      dtype=theta0.dtype)
+                logp, g, quad, O = run(theta0, x)
+                s = jnp.sum(logp) + jnp.sum(g) + jnp.sum(O)
+                if quad is not None:
+                    s = s + jnp.sum(quad)
+                return acc + s.astype(jnp.float32)
+
+            loop = jax.jit(lambda: jax.lax.fori_loop(
+                0, 10, body, jnp.float32(0)))
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop())
+            log(f"probe[{tag}]: compile+first {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop())
+            dt = (time.perf_counter() - t0) / 10
+            log(f"probe[{tag}]: {dt*1e3:.2f} ms")
 
     if "xla" in results and "pallas" in results:
         log(f"speedup (per-sample stage): "

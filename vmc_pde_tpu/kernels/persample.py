@@ -88,6 +88,24 @@ def _mm(a, b, precision=None):
     return jnp.matmul(a, b, precision=precision)
 
 
+def _mm_split(a, b):
+    """a @ b for an exactly-bf16-representable a (0/1 selections) via two
+    DEFAULT (1-pass bf16) matmuls on a hi/lo split of b: ~2^-16 relative,
+    at 1/3 the passes of HIGHEST. Mosaic lowers only DEFAULT and HIGHEST,
+    so this is the in-kernel stand-in for Precision.HIGH; used in the
+    Hessian-quad primal where 6-pass selections dominated the cost. The
+    jvp splits tangents the same way (convert_element_type's tangent is a
+    convert), so forward-mode derivatives keep the same accuracy."""
+    b_hi = b.astype(jnp.bfloat16).astype(b.dtype)
+    return _mm(a, b_hi) + _mm(a, b - b_hi)
+
+
+def _mm_tn_split(a, b):
+    """a.T @ b, split like _mm_split."""
+    b_hi = b.astype(jnp.bfloat16).astype(b.dtype)
+    return _mm_tn(a, b_hi) + _mm_tn(a, b - b_hi)
+
+
 def _mm_tn(a, b, precision=None):
     """a.T @ b without a transpose op (dot_general on both dim 0)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
@@ -371,8 +389,8 @@ def _tile_logp(kt, specs, sel, off, X):
     z = X
     logjac = jnp.zeros((X.shape[1],), X.dtype)
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
-        u1 = _mm(Su, z, _HI)
-        u2 = _mm(Sd, z, _HI)
+        u1 = _mm_split(Su, z)
+        u2 = _mm_split(Sd, z)
         s2 = _mlp_plain(p["s2"], u2, spec.alpha)
         t2 = (_mlp_plain(p["t2"], u2, spec.alpha)
               if spec.variant == "affine" else None)
@@ -381,7 +399,7 @@ def _tile_logp(kt, specs, sel, off, X):
         t1 = (_mlp_plain(p["t1"], v1, spec.alpha)
               if spec.variant == "affine" else None)
         v2 = _couple_f(u2, s1, t1, jnp.exp(s1), spec.variant)
-        z = _mm_tn(Su, v1, _HI) + _mm_tn(Sd, v2, _HI)
+        z = _mm_tn_split(Su, v1) + _mm_tn_split(Sd, v2)
         if spec.variant != "additive":
             logjac = logjac + jnp.sum(s1, axis=0) + jnp.sum(s2, axis=0)
         if spec.global_affine:
@@ -391,7 +409,7 @@ def _tile_logp(kt, specs, sel, off, X):
     dim = X.shape[0]
     W, _ = _latent_factor(lat, dim)
     zc = z - off[:, None] - lat["mu"][:, None]
-    ylat = _mm(W, zc, _HI)
+    ylat = _mm_split(W, zc)
     return (-0.5 * (dim * math.log(2.0 * math.pi)
                     + 2.0 * jnp.sum(lat["L_diag"])
                     + jnp.sum(ylat * ylat, axis=0)) + logjac)
