@@ -612,7 +612,9 @@ class TDVP:
             raise ValueError(
                 f"unknown per_sample_backend {cfg.per_sample_backend!r}")
         self._ps_pallas = None
-        if cfg.per_sample_backend == "pallas":
+        self._ps_tile = cfg.per_sample_tile
+        use_pallas = cfg.per_sample_backend == "pallas"
+        if use_pallas:
             if self.ctx.mesh.size > 1:
                 raise ValueError(
                     "per_sample_backend='pallas' is a single-device kernel; "
@@ -622,6 +624,21 @@ class TDVP:
                 raise ValueError(
                     "per_sample_backend='pallas' supports Gauss latents "
                     "with trace-mode (or no) Hessians; use 'auto'/'xla'")
+        elif cfg.per_sample_backend == "auto":
+            # The kernel wins on the flagship-class regime it was tuned
+            # for (d=32, P=9264, f32: 6.9 vs XLA's 8.4 ms per stage at
+            # N=16,384; scripts/bench_persample.py). Small models are
+            # left on XLA: sliver shapes there are cheap anyway and each
+            # (flow, tile) config costs a one-off Mosaic compile.
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and self.ctx.mesh.size == 1
+                and self.precision.compute == jnp.float32
+                and self.n_params >= 2048
+                and persample.supports(self.flow, self._hess_dirs,
+                                       self._hess_idx)
+            )
+        if use_pallas:
             self._ps_pallas = persample.make_per_sample_pallas(
                 self.flow, unravel, self.n_params, self._hess_dirs,
                 tile=cfg.per_sample_tile,
@@ -676,7 +693,9 @@ class TDVP:
     # ------------------------------------------------------------------
     def _per_sample_batch(self, theta_c, x, t):
         """x: (n, d) -> (logp (n,), Eloc (n,), O (n, P))."""
-        if self._ps_pallas is not None:
+        if self._ps_pallas is not None and x.shape[0] % self._ps_tile == 0:
+            # ragged batches (budgets not divisible by the kernel tile,
+            # e.g. odd obs budgets or chunk tails) fall through to XLA
             logp, g, quad, O = self._ps_pallas(theta_c, x)
             hess = quad if self._hess_dirs is not None else None
             return logp, self.equation.eloc(x, g, hess, t), O
