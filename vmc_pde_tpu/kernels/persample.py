@@ -538,6 +538,11 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     dot_generals."""
     if template is None:
         raise ValueError("make_per_sample_pallas needs the params template")
+    if not interpret and tile % 128:
+        # samples ride the lane axis: Mosaic requires lane-dim block
+        # sizes to be multiples of 128 (or the full array)
+        raise ValueError(f"per-sample kernel tile {tile} must be a "
+                         "multiple of 128")
     dim = flow.dim
     want_quad = hess_dirs is not None
     k_dirs = int(np.shape(hess_dirs)[0]) if want_quad else 0

@@ -135,7 +135,7 @@ class TDVPConfig:
     # meshes, Gauss latent, trace-mode Hessians (persample.supports);
     # sample budgets must divide per_sample_tile. "auto" currently = xla.
     per_sample_backend: str = "auto"
-    per_sample_tile: int = 64
+    per_sample_tile: int = 256  # lane-axis tile; must be a multiple of 128
     compute_snr: bool = True      # record per-mode SNR diagnostics
     compute_sexp: bool = False    # DENSE (P, P) SExp for the adaptive norm
     # Adaptive-stepper S-metric source. "none": whatever compute_sexp says.
