@@ -158,3 +158,31 @@ def test_tdvp_pallas_rejects_unsupported(ctx1, ctx8):
     with pytest.raises(ValueError, match="Gauss"):
         make_problem(ctx1, dim=2, n=2048, latent_name="Student_t",
                      cfg=TDVPConfig(per_sample_backend="pallas"))
+
+
+def test_tdvp_pallas_ragged_budget_falls_back(ctx1):
+    """Budgets not divisible by the kernel tile run through the XLA
+    pipeline per call (the auto path must never raise on raggedness)."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    st, t_pal = make_problem(
+        ctx1, dim=2, n=2048,
+        cfg=TDVPConfig(per_sample_backend="pallas", per_sample_tile=512))
+    assert t_pal._ps_pallas is not None
+    # 1536 % 512 == 0 uses the kernel; the askew 1792 budget falls back
+    theta = st.get_parameters()
+    x, _ = st.sample(1792, key=jax.random.PRNGKey(8))
+    logp, eloc, O = t_pal._per_sample_batch(
+        jnp.asarray(theta, t_pal.precision.compute), x, 0.0)
+    assert logp.shape == (1792,)
+    # and a divisible batch agrees with the XLA pipeline
+    x2 = x[:1536]
+    l1, e1, O1 = t_pal._per_sample_batch(
+        jnp.asarray(theta, t_pal.precision.compute), x2, 0.0)
+    _, t_xla = make_problem(ctx1, dim=2, n=2048,
+                            cfg=TDVPConfig(per_sample_backend="xla"))
+    l2, e2, O2 = t_xla._per_sample_batch(
+        jnp.asarray(theta, t_xla.precision.compute), x2, 0.0)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=1e-8)
