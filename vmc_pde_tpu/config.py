@@ -65,6 +65,12 @@ class RunConfig:
     gram_precision: str = "high"    # highest | high | default (MXU passes)
     gram_backend: str = "auto"      # auto | xla | syrk (triangle kernel)
     hessian_mode: str = "auto"      # auto | trace | block (TDVPConfig)
+    # Per-sample pipeline backend: auto | xla | pallas (TDVPConfig;
+    # kernels/persample.py -- "auto" fuses the per-sample stage into the
+    # feature-major Pallas kernel on single-device TPU f32 configs with
+    # P >= 2048)
+    per_sample_backend: str = "auto"
+    per_sample_tile: int = 256
     cg_maxiter: int = 250
     cg_tol: float = 1e-7
     auto_tol_floor: bool = True  # floor svd_tol at 64*eps(compute dtype)

@@ -78,6 +78,8 @@ def build_problem(cfg: RunConfig):
         eigh_max_params=cfg.eigh_max_params,
         gram_precision=cfg.gram_precision,
         gram_backend=cfg.gram_backend,
+        per_sample_backend=cfg.per_sample_backend,
+        per_sample_tile=cfg.per_sample_tile,
         hessian_mode=cfg.hessian_mode,
         cg_maxiter=cfg.cg_maxiter,
         cg_tol=cfg.cg_tol,
@@ -427,6 +429,11 @@ def main(argv=None):
                    help="Gram contraction backend (syrk = triangle-only "
                         "Pallas kernel, kernels/syrk.py; sym2 = 2-pass "
                         "symmetric hi/lo split, any mesh, chunk-safe)")
+    p.add_argument("--per-sample-backend", type=str, default=None,
+                   choices=["auto", "xla", "pallas"],
+                   help="per-sample pipeline backend (pallas = fused "
+                        "forward+backward+Hessian-trace TPU kernel, "
+                        "kernels/persample.py)")
     p.add_argument("--hessian-mode", type=str, default=None,
                    choices=["auto", "trace", "block"],
                    help="per-sample Hessian strategy: forward-over-forward "
@@ -499,6 +506,8 @@ def main(argv=None):
         overrides["gram_precision"] = args.gram_precision
     if args.gram_backend is not None:
         overrides["gram_backend"] = args.gram_backend
+    if args.per_sample_backend is not None:
+        overrides["per_sample_backend"] = args.per_sample_backend
     if args.hessian_mode is not None:
         overrides["hessian_mode"] = args.hessian_mode
     if args.chunk_size is not None:
