@@ -634,7 +634,11 @@ class TDVP:
                 jax.default_backend() == "tpu"
                 and self.ctx.mesh.size == 1
                 and self.precision.compute == jnp.float32
-                and self.n_params >= 2048
+                # lower bound: sliver shapes below this are cheap on XLA
+                # and each config costs a one-off Mosaic compile; upper
+                # bound: the double-buffered (P, tile) O block must fit
+                # the ~100 MB VMEM budget (large-P minSR regimes stay XLA)
+                and 2048 <= self.n_params <= 32768
                 and persample.supports(self.flow, self._hess_dirs,
                                        self._hess_idx)
             )
