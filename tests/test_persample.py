@@ -16,10 +16,10 @@ from vmc_pde_tpu.ops import score
 
 
 def _flow_and_batch(variant, global_affine=False, dim=6, depth=3, n=16,
-                    dtype=jnp.float64, seed=7):
+                    dtype=jnp.float64, seed=7, latent_name="Gauss"):
     flow, params = build_flow(
         seed, dim, depth=depth, variant=variant,
-        global_affine=global_affine, dtype=dtype,
+        global_affine=global_affine, latent_name=latent_name, dtype=dtype,
     )
     # Push parameters away from the near-identity init so the coupling
     # layers actually transform (out_scale=1e-5 leaves everything ~linear).
@@ -33,14 +33,18 @@ def _flow_and_batch(variant, global_affine=False, dim=6, depth=3, n=16,
 
 
 @pytest.mark.parametrize(
-    "variant,ga",
-    [("scale", False), ("affine", False), ("additive", False),
-     ("scale_shift", False), ("scale", True), ("affine", True)],
+    "variant,ga,lat",
+    [("scale", False, "Gauss"), ("affine", False, "Gauss"),
+     ("additive", False, "Gauss"), ("scale_shift", False, "Gauss"),
+     ("scale", True, "Gauss"), ("affine", True, "Gauss"),
+     ("scale", False, "Student_t"), ("affine", True, "Student_t")],
 )
-def test_hand_forward_backward_matches_autodiff(variant, ga):
+def test_hand_forward_backward_matches_autodiff(variant, ga, lat):
     """tile_value_and_grads (the kernel body's math, pure jnp) against the
-    XLA pipeline: logp, coordinate score, and the full (N, P) O-matrix."""
-    flow, params, x = _flow_and_batch(variant, global_affine=ga)
+    XLA pipeline: logp, coordinate score, and the full (N, P) O-matrix
+    (for Student_t incl. the hand-derived digamma nu-row)."""
+    flow, params, x = _flow_and_batch(variant, global_affine=ga,
+                                      latent_name=lat)
     theta, unravel = score.flat_param_view(params)
     f = score.make_flat_log_prob(flow, unravel)
 
@@ -57,8 +61,9 @@ def test_hand_forward_backward_matches_autodiff(variant, ga):
                                rtol=1e-9, atol=1e-10)
 
 
-def test_hand_quad_matches_quad_trace():
-    flow, params, x = _flow_and_batch("affine")
+@pytest.mark.parametrize("lat", ["Gauss", "Student_t"])
+def test_hand_quad_matches_quad_trace(lat):
+    flow, params, x = _flow_and_batch("affine", latent_name=lat)
     theta, unravel = score.flat_param_view(params)
     f = score.make_flat_log_prob(flow, unravel)
     dirs = jnp.eye(flow.dim, dtype=x.dtype)[: flow.dim // 2]
@@ -75,16 +80,20 @@ def test_supports_gate():
     assert persample.supports(flow, None, None)          # no Hessian needed
     assert not persample.supports(flow, None, (0, 1))    # block mode
     st = build_flow(0, 4, depth=2, latent_name="Student_t")[0]
-    assert not persample.supports(st, np.eye(4), None)   # Student-t latent
+    assert persample.supports(st, np.eye(4), None)       # Student-t: in scope
+    cb = build_flow(0, 2, depth=2, latent_name="cos_dist")[0]
+    assert not persample.supports(cb, np.eye(2), None)   # cos bump latent
 
 
-@pytest.mark.parametrize("want_quad", [True, False])
-def test_kernel_interpret_matches_xla(want_quad):
+@pytest.mark.parametrize("want_quad,lat",
+                         [(True, "Gauss"), (False, "Gauss"),
+                          (True, "Student_t")])
+def test_kernel_interpret_matches_xla(want_quad, lat):
     """The full Pallas program (interpret mode) against the XLA per-sample
     pipeline at f32 -- logp, coordinate score, Hessian quadratic trace, and
     the (N, P) O-matrix."""
     flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=12,
-                                      dtype=jnp.float32)
+                                      dtype=jnp.float32, latent_name=lat)
     theta, unravel = score.flat_param_view(params)
     dirs = np.eye(flow.dim, dtype=np.float32) if want_quad else None
 
@@ -127,23 +136,29 @@ def test_kernel_rejects_ragged_batch():
         run(theta, x)
 
 
-def test_tdvp_rhs_pallas_matches_xla(ctx1):
+@pytest.mark.parametrize("lat", ["Gauss", "Student_t"])
+def test_tdvp_rhs_pallas_matches_xla(ctx1, lat):
     """per_sample_backend='pallas' (interpret mode on CPU) must reproduce
     the XLA-pipeline RHS update end to end on identical samples."""
     from tests.test_tdvp import make_problem
     from vmc_pde_tpu.solver.tdvp import TDVPConfig
 
-    st, t_xla = make_problem(ctx1, dim=2, n=2048,
+    st, t_xla = make_problem(ctx1, dim=2, n=2048, latent_name=lat,
                              cfg=TDVPConfig(per_sample_backend="xla"))
-    _, t_pal = make_problem(ctx1, dim=2, n=2048,
+    _, t_pal = make_problem(ctx1, dim=2, n=2048, latent_name=lat,
                             cfg=TDVPConfig(per_sample_backend="pallas"))
     assert t_pal._ps_pallas is not None
     key = jax.random.PRNGKey(5)
     theta = st.get_parameters()
     u1, a1 = t_xla.rhs(theta, 0.0, key)
     u2, a2 = t_pal.rhs(theta, 0.0, key)
+    # per-sample outputs agree to f64 roundoff (O max abs ~2e-14, pinned
+    # by the interpret/hand tests); the update comparison is looser only
+    # because the eigh pseudo-inverse amplifies roundoff along near-zero
+    # Gram modes (Student_t's heavier tails condition the Gram worse).
+    atol = 1e-9 if lat == "Gauss" else 2e-6
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
-                               rtol=1e-6, atol=1e-9)
+                               rtol=1e-6, atol=atol)
     np.testing.assert_allclose(float(a2["eloc_var"]), float(a1["eloc_var"]),
                                rtol=1e-9)
 
@@ -155,8 +170,8 @@ def test_tdvp_pallas_rejects_unsupported(ctx1, ctx8):
     with pytest.raises(ValueError, match="single-device"):
         make_problem(ctx8, dim=2, n=2048,
                      cfg=TDVPConfig(per_sample_backend="pallas"))
-    with pytest.raises(ValueError, match="Gauss"):
-        make_problem(ctx1, dim=2, n=2048, latent_name="Student_t",
+    with pytest.raises(ValueError, match="Gauss/Student_t"):
+        make_problem(ctx1, dim=2, n=2048, latent_name="cos_dist",
                      cfg=TDVPConfig(per_sample_backend="pallas"))
 
 

@@ -56,10 +56,16 @@ keep the XLA path's DEFAULT precision); tests pin logp/g/quad/O against
 the XLA pipeline, and the hand fwd/bwd -- plain jnp functions usable
 OUTSIDE Pallas -- against jax.grad directly on every coupling variant.
 
-Scope (checked by ``supports``): Gauss latent (Student-t needs ``gammaln``
-of two traced scalars -- not a Mosaic-supported transcendental), any
+Scope (checked by ``supports``): Gauss and Student-t latents, any
 coupling variant incl. the learned global affine, trace-mode Hessians
-(the block path stays XLA). Unsupported configs stay on the XLA pipeline.
+(the block path stays XLA). Student-t's two ``gammaln``/``digamma``
+scalars are NOT Mosaic-supported transcendentals, but they depend only on
+nu -- not on the sample -- so ``student_t_consts`` evaluates them OUTSIDE
+the kernel (plain XLA on the traced theta) and passes [nu, c0, dg] in as
+a 3-vector input; in-kernel the latent tail is one log1p and the backward
+scales every quad-derived gradient by the per-sample s = (nu+d)/(nu+q).
+Unsupported configs (cos_dist latent, block-mode Hessians) stay on the
+XLA pipeline.
 
 Reference counterpart: the per-sample pmap(vmap(...)) closures of
 var_state.py:29-34; this is their TPU-resident fusion.
@@ -170,6 +176,29 @@ def split_consts(flow, consts):
     off = consts[2 * B]
     lsel = (consts[2 * B + 1], consts[2 * B + 2])
     return sel, off, lsel
+
+
+def student_t_consts(flow, params, dtype=jnp.float32):
+    """The Student-t scalars the kernel cannot compute (gammaln/digamma
+    are not Mosaic transcendentals) but that depend only on theta, not on
+    the sample: [nu, c0, dg] with
+
+      nu = exp(dist_params[0]) + 1                    (latent.nu_value)
+      c0 = lgam((nu+d)/2) - lgam(nu/2) - (d/2) log(nu pi)
+      dg = (psi((nu+d)/2) - psi(nu/2)) / 2 - d / (2 nu)
+
+    so in-kernel logp = c0 - sum(L_diag) - (nu+d)/2 log1p(q/nu) + logjac
+    and dlogp/dnu_raw = (nu-1) (dg - log1p(q/nu)/2 + s q/(2 nu)),
+    s = (nu+d)/(nu+q). Evaluated OUTSIDE the kernel (plain XLA, traced).
+    """
+    from jax.scipy.special import digamma, gammaln
+
+    d = flow.dim
+    nu = jnp.exp(params["latent"]["dist_params"][0]) + 1.0
+    half = 0.5 * (nu + d)
+    c0 = gammaln(half) - gammaln(0.5 * nu) - 0.5 * d * jnp.log(nu * jnp.pi)
+    dg = 0.5 * (digamma(half) - digamma(0.5 * nu)) - 0.5 * d / nu
+    return jnp.stack([nu, c0, dg]).astype(dtype)
 
 
 def kernel_param_tree(flow, params):
@@ -285,15 +314,16 @@ def _latent_factor(lat, dim):
     return S * (1.0 / dvec)[None, :], dvec
 
 
-def _forward(kt, specs, sel, off, X):
+def _forward(kt, specs, sel, off, X, tparams=None):
     """Hand forward pass over a feature-major sample tile X (d, m).
-    Returns (logp (m,), saves, saves_lat)."""
+    Returns (logp (m,), saves, saves_lat). ``tparams`` is the Student-t
+    [nu, c0, dg] 3-vector (None = Gauss latent)."""
     z = X
     logjac = jnp.zeros((X.shape[1],), X.dtype)
     saves = []
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
-        u1 = _mm(Su, z, _HI)
-        u2 = _mm(Sd, z, _HI)
+        u1 = _mm_split(Su, z)
+        u2 = _mm_split(Sd, z)
         s2, sv_s2 = _mlp_fwd(p["s2"], u2, spec.alpha)
         es2 = jnp.exp(s2)
         t2, sv_t2 = (_mlp_fwd(p["t2"], u2, spec.alpha)
@@ -304,7 +334,7 @@ def _forward(kt, specs, sel, off, X):
         t1, sv_t1 = (_mlp_fwd(p["t1"], v1, spec.alpha)
                      if spec.variant == "affine" else (None, None))
         v2 = _couple_f(u2, s1, t1, es1, spec.variant)
-        ym = _mm_tn(Su, v1, _HI) + _mm_tn(Sd, v2, _HI)
+        ym = _mm_tn_split(Su, v1) + _mm_tn_split(Sd, v2)
         if spec.variant != "additive":
             logjac = logjac + jnp.sum(s1, axis=0) + jnp.sum(s2, axis=0)
         if spec.global_affine:
@@ -320,15 +350,23 @@ def _forward(kt, specs, sel, off, X):
     dim = X.shape[0]
     W, dvec = _latent_factor(lat, dim)
     zc = z - off[:, None] - lat["mu"][:, None]
+    # W is a learned dense factor: a one-sided split would leave W's own
+    # bf16 rounding (~2^-8) in the Mahalanobis term, so this (d, d) sliver
+    # stays HIGHEST (selections are 0/1 -- exactly bf16 -- hence splittable)
     ylat = _mm(W, zc, _HI)
     quadv = jnp.sum(ylat * ylat, axis=0)
-    logp = (-0.5 * (dim * math.log(2.0 * math.pi)
-                    + 2.0 * jnp.sum(lat["L_diag"]) + quadv) + logjac)
-    saves_lat = dict(W=W, dvec=dvec, ylat=ylat)
+    if tparams is None:
+        logp = (-0.5 * (dim * math.log(2.0 * math.pi)
+                        + 2.0 * jnp.sum(lat["L_diag"]) + quadv) + logjac)
+    else:
+        nu, c0 = tparams[0], tparams[1]
+        logp = (c0 - jnp.sum(lat["L_diag"])
+                - 0.5 * (nu + dim) * jnp.log1p(quadv / nu) + logjac)
+    saves_lat = dict(W=W, dvec=dvec, ylat=ylat, quadv=quadv)
     return logp, saves, saves_lat
 
 
-def _backward(kt, specs, sel, saves, saves_lat, lsel):
+def _backward(kt, specs, sel, saves, saves_lat, lsel, tparams=None):
     """Hand backward pass: (g = dlogp/dx (d, m), slabs dict keyed by
     normalized template path -> (leaf_size, m) per-sample O-tile rows)."""
     lat = kt["latent"]
@@ -338,12 +376,28 @@ def _backward(kt, specs, sel, saves, saves_lat, lsel):
 
     # Latent analytics: q = ||W zc||^2, dlp/dU[i,j] = (W^T y)_i y_j,
     # dlp/dld_i = dlp/dU[i,i] e^{ld_i} - 1, dlp/dmu = W^T y, dlp/dz = -W^T y.
-    wty = _mm_tn(W, ylat, _HI)  # (d, m)
-    slabs[("latent", "mu")] = wty
-    slabs[("latent", "L_diag")] = wty * ylat * dvec[:, None] - 1.0
+    # Student-t: every quad-derived term scales by the per-sample
+    # s = (nu+d)/(nu+q) (dlogp/dq = -s/2 instead of the Gauss -1/2); the
+    # log-det -1 and the nu-row come straight from student_t_consts' dg.
+    wty = _mm_tn(W, ylat, _HI)  # (d, m); W dense -- see _forward
+    quad_term = wty * ylat * dvec[:, None]
     Ri, Rj = lsel
-    slabs[("latent", "L")] = _mm(Ri, wty, _HI) * _mm(Rj, ylat, _HI)
-    zbar = -wty
+    l_term = _mm_split(Ri, wty) * _mm_split(Rj, ylat)
+    if tparams is None:
+        slabs[("latent", "mu")] = wty
+        slabs[("latent", "L_diag")] = quad_term - 1.0
+        slabs[("latent", "L")] = l_term
+        zbar = -wty
+    else:
+        nu, dg = tparams[0], tparams[2]
+        q = saves_lat["quadv"]                      # (m,)
+        s = ((nu + dim) / (nu + q))[None, :]        # (1, m)
+        slabs[("latent", "mu")] = wty * s
+        slabs[("latent", "L_diag")] = quad_term * s - 1.0
+        slabs[("latent", "L")] = l_term * s
+        slabs[("latent", "dist_params")] = (nu - 1.0) * (
+            dg - 0.5 * jnp.log1p(q / nu)[None, :] + s * (q / (2.0 * nu)))
+        zbar = -wty * s
 
     for bi in range(len(specs) - 1, -1, -1):
         p, spec, (Su, Sd), sv = kt["blocks"][bi], specs[bi], sel[bi], saves[bi]
@@ -356,8 +410,8 @@ def _backward(kt, specs, sel, saves, saves_lat, lsel):
             ymbar = zbar * p["g_scale"][:, None]
         else:
             ymbar = zbar
-        v1bar = _mm(Su, ymbar, _HI)
-        v2bar = _mm(Sd, ymbar, _HI)
+        v1bar = _mm_split(Su, ymbar)
+        v2bar = _mm_split(Sd, ymbar)
 
         s1bar, t1bar, u2bar = _couple_b(
             v2bar, sv["u2"], sv["s1"], sv["es1"], spec.variant)
@@ -379,11 +433,11 @@ def _backward(kt, specs, sel, saves, saves_lat, lsel):
             u2bar = u2bar + xb
             slabs[("blocks", bi, "t2")] = sl
 
-        zbar = _mm_tn(Su, u1bar, _HI) + _mm_tn(Sd, u2bar, _HI)
+        zbar = _mm_tn_split(Su, u1bar) + _mm_tn_split(Sd, u2bar)
     return zbar, slabs
 
 
-def _tile_logp(kt, specs, sel, off, X):
+def _tile_logp(kt, specs, sel, off, X, tparams=None):
     """Save-free feature-major primal for the jvp^2 Hessian quad
     (theta constant). X: (d, m) -> (m,)."""
     z = X
@@ -409,13 +463,17 @@ def _tile_logp(kt, specs, sel, off, X):
     dim = X.shape[0]
     W, _ = _latent_factor(lat, dim)
     zc = z - off[:, None] - lat["mu"][:, None]
-    ylat = _mm_split(W, zc)
-    return (-0.5 * (dim * math.log(2.0 * math.pi)
-                    + 2.0 * jnp.sum(lat["L_diag"])
-                    + jnp.sum(ylat * ylat, axis=0)) + logjac)
+    ylat = _mm(W, zc, _HI)  # W dense -- see _forward
+    quadv = jnp.sum(ylat * ylat, axis=0)
+    if tparams is None:
+        return (-0.5 * (dim * math.log(2.0 * math.pi)
+                        + 2.0 * jnp.sum(lat["L_diag"]) + quadv) + logjac)
+    nu, c0 = tparams[0], tparams[1]
+    return (c0 - jnp.sum(lat["L_diag"])
+            - 0.5 * (nu + dim) * jnp.log1p(quadv / nu) + logjac)
 
 
-def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int):
+def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
     """sum_j v_j^T H v_j per sample via ONE forward-over-forward jvp pass
     with the k directions folded into the sample (lane) axis: repeat the
     tile k times, give lane block j the tangent v_j, sum the blocks.
@@ -428,7 +486,7 @@ def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int):
          for j in range(k_dirs)], axis=1)
 
     def f(xv):
-        return _tile_logp(kt, specs, sel, off, xv)
+        return _tile_logp(kt, specs, sel, off, xv, tparams)
 
     def inner(y):
         return jax.jvp(f, (y,), (v_rep,))[1]
@@ -491,14 +549,20 @@ def assemble_O(slabs, order):
 # Pure-jnp public wrappers (tests; sample-major at the boundary).
 # ---------------------------------------------------------------------------
 
+def _maybe_tparams(flow, params, dtype):
+    return (student_t_consts(flow, params, dtype)
+            if flow.latent_name == "Student_t" else None)
+
+
 def tile_value_and_grads(flow, params, x):
     """Pure-jnp hand fwd+bwd over a batch: (logp (N,), g (N, d), O (N, P)).
     Exactly the computation the Pallas kernel body runs (the kernel wraps
     this tile-by-tile); runs anywhere, pinned against jax.grad in tests."""
     kt = kernel_param_tree(flow, params)
     sel, off, lsel = split_consts(flow, flow_consts(flow, x.dtype))
-    logp, saves, saves_lat = _forward(kt, flow.blocks, sel, off, x.T)
-    g, slabs = _backward(kt, flow.blocks, sel, saves, saves_lat, lsel)
+    tp = _maybe_tparams(flow, params, x.dtype)
+    logp, saves, saves_lat = _forward(kt, flow.blocks, sel, off, x.T, tp)
+    g, slabs = _backward(kt, flow.blocks, sel, saves, saves_lat, lsel, tp)
     return logp, g.T, assemble_O(slabs, _slab_order(params)).T
 
 
@@ -507,13 +571,14 @@ def tile_quad(flow, params, x, dirs):
     kt = kernel_param_tree(flow, params)
     sel, off, _ = split_consts(flow, flow_consts(flow, x.dtype))
     return _tile_quad(kt, flow.blocks, sel, off, x.T,
-                      jnp.asarray(dirs, x.dtype), int(np.shape(dirs)[0]))
+                      jnp.asarray(dirs, x.dtype), int(np.shape(dirs)[0]),
+                      _maybe_tparams(flow, params, x.dtype))
 
 
 def supports(flow, hess_dirs, hess_idx) -> bool:
     """Static capability check for the fused kernel."""
     return (
-        flow.latent_name == "Gauss"
+        flow.latent_name in ("Gauss", "Student_t")
         and (hess_idx is None or hess_dirs is not None)  # trace mode only
     )
 
@@ -546,6 +611,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     dim = flow.dim
     want_quad = hess_dirs is not None
     k_dirs = int(np.shape(hess_dirs)[0]) if want_quad else 0
+    is_t = flow.latent_name == "Student_t"
     specs = flow.blocks
     order = _slab_order(template)
 
@@ -558,7 +624,9 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         x_ref = refs[0]
         leaf_refs = refs[1:1 + n_leaves]
         const_refs = refs[1 + n_leaves:1 + n_leaves + n_consts]
-        dirs_ref = refs[1 + n_leaves + n_consts] if want_quad else None
+        pos = 1 + n_leaves + n_consts
+        dirs_ref = refs[pos] if want_quad else None
+        tp_ref = refs[pos + int(want_quad)] if is_t else None
         logp_ref, g_ref, quad_ref, o_ref = refs[-4:]
 
         kt = jax.tree_util.tree_unflatten(
@@ -566,14 +634,16 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         sel, off, lsel = split_consts(
             flow, tuple(r[:] for r in const_refs))
         X = x_ref[:]  # (d, m)
+        tp = tp_ref[:] if is_t else None
 
-        logp, saves, saves_lat = _forward(kt, specs, sel, off, X)
-        g, slabs = _backward(kt, specs, sel, saves, saves_lat, lsel)
+        logp, saves, saves_lat = _forward(kt, specs, sel, off, X, tp)
+        g, slabs = _backward(kt, specs, sel, saves, saves_lat, lsel, tp)
         logp_ref[:] = logp[None, :]
         g_ref[:] = g
         o_ref[:] = assemble_O(slabs, order)
         if want_quad:
-            quad = _tile_quad(kt, specs, sel, off, X, dirs_ref[:], k_dirs)
+            quad = _tile_quad(kt, specs, sel, off, X, dirs_ref[:], k_dirs,
+                              tp)
             quad_ref[:] = quad[None, :]
         else:
             quad_ref[:] = jnp.zeros_like(quad_ref)
@@ -603,6 +673,10 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
             dirs = jnp.asarray(np.asarray(hess_dirs), dtype=x.dtype)
             extra.append(dirs)
             extra_specs.append(full_spec(dirs.shape))
+        if is_t:
+            tp = student_t_consts(flow, params, x.dtype)
+            extra.append(tp)
+            extra_specs.append(full_spec(tp.shape))
         grid = (n // tile,)
         logp, g, quad, OT = pl.pallas_call(
             kernel,

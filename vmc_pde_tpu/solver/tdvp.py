@@ -622,8 +622,9 @@ class TDVP:
             if not persample.supports(self.flow, self._hess_dirs,
                                       self._hess_idx):
                 raise ValueError(
-                    "per_sample_backend='pallas' supports Gauss latents "
-                    "with trace-mode (or no) Hessians; use 'auto'/'xla'")
+                    "per_sample_backend='pallas' supports Gauss/Student_t "
+                    "latents with trace-mode (or no) Hessians; use "
+                    "'auto'/'xla'")
         elif cfg.per_sample_backend == "auto":
             # The kernel wins on the flagship-class regime it was tuned
             # for (d=32, P=9264, f32: 6.9 vs XLA's 8.4 ms per stage at
