@@ -163,16 +163,42 @@ def test_tdvp_rhs_pallas_matches_xla(ctx1, lat):
                                rtol=1e-9)
 
 
-def test_tdvp_pallas_rejects_unsupported(ctx1, ctx8):
+def test_tdvp_pallas_rejects_unsupported(ctx1):
     from tests.test_tdvp import make_problem
     from vmc_pde_tpu.solver.tdvp import TDVPConfig
 
-    with pytest.raises(ValueError, match="single-device"):
-        make_problem(ctx8, dim=2, n=2048,
-                     cfg=TDVPConfig(per_sample_backend="pallas"))
     with pytest.raises(ValueError, match="Gauss/Student_t"):
         make_problem(ctx1, dim=2, n=2048, latent_name="cos_dist",
                      cfg=TDVPConfig(per_sample_backend="pallas"))
+
+
+def test_tdvp_rhs_pallas_sharded_dp8(ctx8):
+    """per_sample_backend='pallas' on the 8-device dp mesh: the shard_map-
+    wrapped kernel (each device runs its (N/8, d) shard) must reproduce
+    the mesh XLA pipeline's RHS on identical samples."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+
+    st, t_xla = make_problem(ctx8, dim=2, n=4096,
+                             cfg=TDVPConfig(per_sample_backend="xla"))
+    _, t_pal = make_problem(ctx8, dim=2, n=4096,
+                            cfg=TDVPConfig(per_sample_backend="pallas",
+                                           per_sample_tile=256))
+    assert t_pal._ps_pallas is not None
+    assert t_pal._ps_round == 8 * 256
+    key = jax.random.PRNGKey(5)
+    theta = st.get_parameters()
+    u1, a1 = t_xla.rhs(theta, 0.0, key)
+    u2, a2 = t_pal.rhs(theta, 0.0, key)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(a2["eloc_var"]), float(a1["eloc_var"]),
+                               rtol=1e-9)
+    # a budget not divisible by dp * tile falls back to XLA per call
+    x, _ = st.sample(4096 + 512, key=jax.random.PRNGKey(8))
+    logp, _, _ = t_pal._per_sample_batch(
+        jnp.asarray(theta, t_pal.precision.compute), x, 0.0)
+    assert logp.shape == (4096 + 512,)
 
 
 def test_tdvp_pallas_ragged_budget_falls_back(ctx1):

@@ -712,3 +712,49 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                 quad[0] if want_quad else None, OT.T)
 
     return run
+
+
+def make_per_sample_sharded(flow, unravel, n_params: int,
+                            hess_dirs: Optional[np.ndarray], ctx,
+                            tile: int = DEFAULT_TILE,
+                            interpret: bool = False,
+                            template=None):
+    """The fused kernel on a multi-device mesh: shard_map the single-
+    device Pallas program over the sample (dp) axis. Each device runs the
+    kernel on its local (N/dp, d) tile stream and writes its local
+    (N/dp, P) O rows; tp replicas compute their dp shard redundantly --
+    exactly the layout GSPMD gives the vmapped-AD pipeline, so the
+    downstream Gram/statistics contractions see identical shardings
+    (ctx.osample_spec). check_vma is off (pallas_call carries no
+    varying-manual-axes info); outputs are dp-sharded / tp-replicated by
+    construction. Sample budgets must divide dp_size * tile -- ragged
+    budgets fall back to the XLA pipeline at the TDVP call site, same as
+    single-device."""
+    run = make_per_sample_pallas(flow, unravel, n_params, hess_dirs,
+                                 tile=tile, interpret=interpret,
+                                 template=template)
+    want_quad = hess_dirs is not None
+
+    def body(theta, x):
+        logp, g, quad, O = run(theta, x)
+        return (logp, g, quad, O) if want_quad else (logp, g, O)
+
+    ps, samp, osamp = (ctx.per_sample_spec, ctx.samples_spec,
+                       ctx.osample_spec)
+    outs = (ps, samp, ps, osamp) if want_quad else (ps, samp, osamp)
+    smap = jax.shard_map(body, mesh=ctx.mesh,
+                         in_specs=(ctx.replicated_spec, samp),
+                         out_specs=outs, check_vma=False)
+
+    def run_sharded(theta, x):
+        if x.shape[0] % (ctx.dp_size * tile):
+            raise ValueError(
+                f"sample count {x.shape[0]} not a multiple of "
+                f"dp_size * tile = {ctx.dp_size} * {tile}")
+        res = smap(theta, x)
+        if want_quad:
+            return res
+        logp, g, O = res
+        return logp, g, None, O
+
+    return run_sharded

@@ -613,12 +613,11 @@ class TDVP:
                 f"unknown per_sample_backend {cfg.per_sample_backend!r}")
         self._ps_pallas = None
         self._ps_tile = cfg.per_sample_tile
+        # budgets must divide this for the kernel to engage at call time
+        # (multi-device: every dp shard runs whole tiles)
+        self._ps_round = cfg.per_sample_tile * self.ctx.dp_size
         use_pallas = cfg.per_sample_backend == "pallas"
         if use_pallas:
-            if self.ctx.mesh.size > 1:
-                raise ValueError(
-                    "per_sample_backend='pallas' is a single-device kernel; "
-                    "use 'auto'/'xla' on multi-device meshes")
             if not persample.supports(self.flow, self._hess_dirs,
                                       self._hess_idx):
                 raise ValueError(
@@ -644,12 +643,23 @@ class TDVP:
                                        self._hess_idx)
             )
         if use_pallas:
-            self._ps_pallas = persample.make_per_sample_pallas(
-                self.flow, unravel, self.n_params, self._hess_dirs,
-                tile=cfg.per_sample_tile,
-                interpret=jax.default_backend() != "tpu",
-                template=state.params,
-            )
+            if self.ctx.mesh.size > 1:
+                # shard_map the kernel over the dp axis (tp replicas
+                # recompute their shard, like the vmapped-AD pipeline
+                # under GSPMD); downstream Gram sees the same shardings
+                self._ps_pallas = persample.make_per_sample_sharded(
+                    self.flow, unravel, self.n_params, self._hess_dirs,
+                    self.ctx, tile=cfg.per_sample_tile,
+                    interpret=jax.default_backend() != "tpu",
+                    template=state.params,
+                )
+            else:
+                self._ps_pallas = persample.make_per_sample_pallas(
+                    self.flow, unravel, self.n_params, self._hess_dirs,
+                    tile=cfg.per_sample_tile,
+                    interpret=jax.default_backend() != "tpu",
+                    template=state.params,
+                )
 
         # Fused MCMC sampling: the Metropolis chain loop traces INTO the
         # TDVP step programs with the chain state threaded through
@@ -698,7 +708,7 @@ class TDVP:
     # ------------------------------------------------------------------
     def _per_sample_batch(self, theta_c, x, t):
         """x: (n, d) -> (logp (n,), Eloc (n,), O (n, P))."""
-        if self._ps_pallas is not None and x.shape[0] % self._ps_tile == 0:
+        if self._ps_pallas is not None and x.shape[0] % self._ps_round == 0:
             # ragged batches (budgets not divisible by the kernel tile,
             # e.g. odd obs budgets or chunk tails) fall through to XLA
             logp, g, quad, O = self._ps_pallas(theta_c, x)
