@@ -85,14 +85,16 @@ def test_supports_gate():
     assert not persample.supports(cb, np.eye(2), None)   # cos bump latent
 
 
-@pytest.mark.parametrize("want_quad,lat",
-                         [(True, "Gauss"), (False, "Gauss"),
-                          (True, "Student_t")])
-def test_kernel_interpret_matches_xla(want_quad, lat):
+@pytest.mark.parametrize("want_quad,lat,variant",
+                         [(True, "Gauss", "scale"), (False, "Gauss", "scale"),
+                          (True, "Student_t", "scale"),
+                          (True, "Gauss", "affine")])
+def test_kernel_interpret_matches_xla(want_quad, lat, variant):
     """The full Pallas program (interpret mode) against the XLA per-sample
     pipeline at f32 -- logp, coordinate score, Hessian quadratic trace, and
-    the (N, P) O-matrix."""
-    flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=12,
+    the (N, P) O-matrix. The affine case runs the fused (s, t) conditioner
+    pair (concat/block-diagonal weights) through the kernel plumbing."""
+    flow, params, x = _flow_and_batch(variant, dim=4, depth=2, n=12,
                                       dtype=jnp.float32, latent_name=lat)
     theta, unravel = score.flat_param_view(params)
     dirs = np.eye(flow.dim, dtype=np.float32) if want_quad else None

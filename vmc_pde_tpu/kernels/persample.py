@@ -201,18 +201,51 @@ def student_t_consts(flow, params, dtype=jnp.float32):
     return jnp.stack([nu, c0, dg]).astype(dtype)
 
 
+def _block_diag(a, b):
+    za = jnp.zeros((a.shape[0], b.shape[1]), a.dtype)
+    zb = jnp.zeros((b.shape[0], a.shape[1]), b.dtype)
+    return jnp.concatenate([jnp.concatenate([a, za], 1),
+                            jnp.concatenate([zb, b], 1)], 0)
+
+
+def _fuse_pair(ps, pt):
+    """Fuse the (s, t) conditioner pair of an affine block into ONE
+    concatenated MLP: both nets read the same input, so layer 0 concats
+    the weights along the output axis and deeper layers go block-diagonal
+    on the concatenated hidden state. At conditioner widths (<= 64) every
+    fused matmul still fits one 128x128 MXU tile, so this HALVES the
+    conditioner MXU passes of the affine variant for free. Built OUTSIDE
+    the kernel (plain XLA on the traced params)."""
+    ws = [jnp.concatenate([ps["w"][0], pt["w"][0]], axis=1)]
+    ws += [_block_diag(a, b) for a, b in zip(ps["w"][1:], pt["w"][1:])]
+    bs = [jnp.concatenate([a, b]) for a, b in zip(ps["b"], pt["b"])]
+    return {"w": ws, "b": bs}
+
+
 def kernel_param_tree(flow, params):
-    """The parameter pytree the kernel consumes: the blocks as-is, the
-    latent with the packed strictly-upper vector L pre-scattered to a
-    (d, d) matrix (the in-kernel scatter is not Mosaic-lowerable; the
-    O-rows for L are assembled analytically from the factor instead).
-    Runs OUTSIDE the kernel (plain XLA)."""
+    """The parameter pytree the kernel consumes: the blocks as-is --
+    except affine blocks, whose (s, t) conditioner pairs are pre-fused
+    into concatenated/block-diagonal MLPs (_fuse_pair) -- and the latent
+    with the packed strictly-upper vector L pre-scattered to a (d, d)
+    matrix (the in-kernel scatter is not Mosaic-lowerable; the O-rows for
+    L are assembled analytically from the factor instead). Runs OUTSIDE
+    the kernel (plain XLA)."""
     d = flow.dim
     lat = params["latent"]
     uoff = jnp.zeros((d, d), lat["L"].dtype)
     uoff = uoff.at[np.triu_indices(d, k=1)].set(lat["L"])
+    blocks = []
+    for spec, p in zip(flow.blocks, params["blocks"]):
+        if spec.variant == "affine":
+            q = {k: v for k, v in p.items() if k not in
+                 ("s1", "t1", "s2", "t2")}
+            q["f2"] = _fuse_pair(p["s2"], p["t2"])
+            q["f1"] = _fuse_pair(p["s1"], p["t1"])
+            blocks.append(q)
+        else:
+            blocks.append(p)
     return {
-        "blocks": params["blocks"],
+        "blocks": blocks,
         "latent": {"L_diag": lat["L_diag"], "Uoff": uoff, "mu": lat["mu"]},
     }
 
@@ -266,6 +299,70 @@ def _mlp_bwd(net, saves, ybar, alpha):
             _, t_prev = saves[layer - 1]
             abar = xbar * (1.0 - t_prev * t_prev)
     return xbar, {"b": bslabs, "w": wslabs}
+
+
+def _pair_fwd(pf, h, alpha):
+    """Fused (s, t) conditioner pair forward (weights from _fuse_pair).
+    h: (in, m) -> (s (out, m), t (out, m), saves). Layer 0's save keeps
+    the SHARED input; deeper saves are the concatenated hidden states."""
+    ws, bs = pf["w"], pf["b"]
+    saves = []
+    for w, b in zip(ws[:-1], bs[:-1]):
+        t = jnp.tanh(_mm_tn(w, h) + b[:, None])
+        saves.append((h, t))
+        h = t
+    t_last = jnp.tanh(_mm_tn(ws[-1], h) + bs[-1][:, None])
+    saves.append((h, t_last))
+    y = alpha * t_last
+    half = y.shape[0] // 2
+    return y[:half], y[half:], saves
+
+
+def _pair_plain(pf, h, alpha):
+    """Save-free fused pair forward (the jvp^2 quad primal)."""
+    ws, bs = pf["w"], pf["b"]
+    for w, b in zip(ws[:-1], bs[:-1]):
+        h = jnp.tanh(_mm_tn(w, h) + b[:, None])
+    y = alpha * jnp.tanh(_mm_tn(ws[-1], h) + bs[-1][:, None])
+    half = y.shape[0] // 2
+    return y[:half], y[half:]
+
+
+def _pair_bwd(pf, saves, sbar, tbar, alpha):
+    """Backward through _pair_fwd. Returns (xbar (in, m), slab_s, slab_t)
+    where each slab is the per-net {"b": [...], "w": [...]} dict in the
+    ORIGINAL (unfused) leaf shapes -- the weight-gradient relayouts
+    (_outer_rows) stay per-net because the O tile is laid out per leaf;
+    only the matmuls ride the fused operands. Layer 0's xbar is the SUM
+    of both nets' input gradients (they share the input)."""
+    ws = pf["w"]
+    n = len(ws)
+    ws_slab, wt_slab = [None] * n, [None] * n
+    bs_slab, bt_slab = [None] * n, [None] * n
+    h_in, t = saves[-1]
+    out2 = t.shape[0]
+    half = out2 // 2
+    abar = jnp.concatenate([sbar, tbar], axis=0) * (alpha * (1.0 - t * t))
+    xbar = None
+    for layer in range(n - 1, -1, -1):
+        h_in, t = saves[layer]
+        bs_slab[layer] = abar[:half]
+        bt_slab[layer] = abar[half:]
+        if layer == 0:
+            # shared input: one h for both nets, summed xbar
+            ws_slab[layer] = _outer_rows(h_in, abar[:half])
+            wt_slab[layer] = _outer_rows(h_in, abar[half:])
+        else:
+            hs, ht = h_in[:h_in.shape[0] // 2], h_in[h_in.shape[0] // 2:]
+            ws_slab[layer] = _outer_rows(hs, abar[:half])
+            wt_slab[layer] = _outer_rows(ht, abar[half:])
+        xbar = _mm(ws[layer], abar)
+        if layer > 0:
+            _, t_prev = saves[layer - 1]
+            abar = xbar * (1.0 - t_prev * t_prev)
+            half = t_prev.shape[0] // 2
+    return (xbar, {"b": bs_slab, "w": ws_slab},
+            {"b": bt_slab, "w": wt_slab})
 
 
 def _couple_f(u, s, t, es, variant):
@@ -324,15 +421,19 @@ def _forward(kt, specs, sel, off, X, tparams=None):
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
         u1 = _mm_split(Su, z)
         u2 = _mm_split(Sd, z)
-        s2, sv_s2 = _mlp_fwd(p["s2"], u2, spec.alpha)
+        if spec.variant == "affine":
+            s2, t2, sv_s2 = _pair_fwd(p["f2"], u2, spec.alpha)
+        else:
+            s2, sv_s2 = _mlp_fwd(p["s2"], u2, spec.alpha)
+            t2 = None
         es2 = jnp.exp(s2)
-        t2, sv_t2 = (_mlp_fwd(p["t2"], u2, spec.alpha)
-                     if spec.variant == "affine" else (None, None))
         v1 = _couple_f(u1, s2, t2, es2, spec.variant)
-        s1, sv_s1 = _mlp_fwd(p["s1"], v1, spec.alpha)
+        if spec.variant == "affine":
+            s1, t1, sv_s1 = _pair_fwd(p["f1"], v1, spec.alpha)
+        else:
+            s1, sv_s1 = _mlp_fwd(p["s1"], v1, spec.alpha)
+            t1 = None
         es1 = jnp.exp(s1)
-        t1, sv_t1 = (_mlp_fwd(p["t1"], v1, spec.alpha)
-                     if spec.variant == "affine" else (None, None))
         v2 = _couple_f(u2, s1, t1, es1, spec.variant)
         ym = _mm_tn_split(Su, v1) + _mm_tn_split(Sd, v2)
         if spec.variant != "additive":
@@ -343,8 +444,7 @@ def _forward(kt, specs, sel, off, X, tparams=None):
         else:
             z = ym
         saves.append(dict(u1=u1, u2=u2, v1=v1, s1=s1, s2=s2, es1=es1,
-                          es2=es2, ym=ym, sv_s1=sv_s1, sv_s2=sv_s2,
-                          sv_t1=sv_t1, sv_t2=sv_t2))
+                          es2=es2, ym=ym, sv_s1=sv_s1, sv_s2=sv_s2))
 
     lat = kt["latent"]
     dim = X.shape[0]
@@ -415,23 +515,29 @@ def _backward(kt, specs, sel, saves, saves_lat, lsel, tparams=None):
 
         s1bar, t1bar, u2bar = _couple_b(
             v2bar, sv["u2"], sv["s1"], sv["es1"], spec.variant)
-        xb, sl = _mlp_bwd(p["s1"], sv["sv_s1"], s1bar, spec.alpha)
-        v1bar = v1bar + xb
-        slabs[("blocks", bi, "s1")] = sl
         if spec.variant == "affine":
-            xb, sl = _mlp_bwd(p["t1"], sv["sv_t1"], t1bar, spec.alpha)
+            xb, sl_s, sl_t = _pair_bwd(p["f1"], sv["sv_s1"], s1bar, t1bar,
+                                       spec.alpha)
             v1bar = v1bar + xb
-            slabs[("blocks", bi, "t1")] = sl
+            slabs[("blocks", bi, "s1")] = sl_s
+            slabs[("blocks", bi, "t1")] = sl_t
+        else:
+            xb, sl = _mlp_bwd(p["s1"], sv["sv_s1"], s1bar, spec.alpha)
+            v1bar = v1bar + xb
+            slabs[("blocks", bi, "s1")] = sl
 
         s2bar, t2bar, u1bar = _couple_b(
             v1bar, sv["u1"], sv["s2"], sv["es2"], spec.variant)
-        xb, sl = _mlp_bwd(p["s2"], sv["sv_s2"], s2bar, spec.alpha)
-        u2bar = u2bar + xb
-        slabs[("blocks", bi, "s2")] = sl
         if spec.variant == "affine":
-            xb, sl = _mlp_bwd(p["t2"], sv["sv_t2"], t2bar, spec.alpha)
+            xb, sl_s, sl_t = _pair_bwd(p["f2"], sv["sv_s2"], s2bar, t2bar,
+                                       spec.alpha)
             u2bar = u2bar + xb
-            slabs[("blocks", bi, "t2")] = sl
+            slabs[("blocks", bi, "s2")] = sl_s
+            slabs[("blocks", bi, "t2")] = sl_t
+        else:
+            xb, sl = _mlp_bwd(p["s2"], sv["sv_s2"], s2bar, spec.alpha)
+            u2bar = u2bar + xb
+            slabs[("blocks", bi, "s2")] = sl
 
         zbar = _mm_tn_split(Su, u1bar) + _mm_tn_split(Sd, u2bar)
     return zbar, slabs
@@ -445,13 +551,17 @@ def _tile_logp(kt, specs, sel, off, X, tparams=None):
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
         u1 = _mm_split(Su, z)
         u2 = _mm_split(Sd, z)
-        s2 = _mlp_plain(p["s2"], u2, spec.alpha)
-        t2 = (_mlp_plain(p["t2"], u2, spec.alpha)
-              if spec.variant == "affine" else None)
+        if spec.variant == "affine":
+            s2, t2 = _pair_plain(p["f2"], u2, spec.alpha)
+        else:
+            s2 = _mlp_plain(p["s2"], u2, spec.alpha)
+            t2 = None
         v1 = _couple_f(u1, s2, t2, jnp.exp(s2), spec.variant)
-        s1 = _mlp_plain(p["s1"], v1, spec.alpha)
-        t1 = (_mlp_plain(p["t1"], v1, spec.alpha)
-              if spec.variant == "affine" else None)
+        if spec.variant == "affine":
+            s1, t1 = _pair_plain(p["f1"], v1, spec.alpha)
+        else:
+            s1 = _mlp_plain(p["s1"], v1, spec.alpha)
+            t1 = None
         v2 = _couple_f(u2, s1, t1, jnp.exp(s1), spec.variant)
         z = _mm_tn_split(Su, v1) + _mm_tn_split(Sd, v2)
         if spec.variant != "additive":
