@@ -131,9 +131,11 @@ class TDVPConfig:
     # quad_trace fused by XLA (the measured default). "pallas": the fused
     # per-sample Pallas kernel (kernels/persample.py) -- forward flow,
     # parameter/coordinate backward, and Hessian trace on a VMEM-resident
-    # sample tile, writing only the (tile, P) O block to HBM. Single-device
-    # meshes, Gauss latent, trace-mode Hessians (persample.supports);
-    # sample budgets must divide per_sample_tile. "auto" currently = xla.
+    # sample tile, writing only the (tile, P) O block to HBM. Gauss or
+    # Student-t latents, trace-mode Hessians (persample.supports); on
+    # multi-device meshes the kernel shard_maps over dp; sample budgets
+    # must divide dp_size * per_sample_tile. "auto" engages the kernel on
+    # single-device TPU f32 configs with 2048 <= P <= 32768.
     per_sample_backend: str = "auto"
     per_sample_tile: int = 256  # lane-axis tile; must be a multiple of 128
     compute_snr: bool = True      # record per-mode SNR diagnostics
