@@ -36,8 +36,10 @@ def main():
     ap.add_argument("--bound", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-step", type=float, default=None,
-                    help="override the preset max dt (smaller dt REDUCES "
-                         "the accumulated MC random walk ~sqrt(t*dt/N))")
+                    help="override the preset max dt")
+    ap.add_argument("--dt0", type=float, default=None,
+                    help="override the ramp start (set equal to --max-step "
+                         "to disable the geometric ramp)")
     ap.add_argument("--gram-f64", action="store_true",
                     help="f64-grade statistics (gram_precision='f64' + "
                          "host eigh) -- removes the f32 per-step bias "
@@ -66,6 +68,8 @@ def main():
     over = {}
     if args.max_step is not None:
         over["max_step"] = args.max_step
+    if args.dt0 is not None:
+        over["dt0"] = args.dt0
     if args.gram_f64:
         over.update(gram_precision="f64", solve_on_device=False,
                     precision="tpu_f64stats" if args.tpu else "f64")
@@ -74,6 +78,9 @@ def main():
     cfg = preset(
         "mwe",
         t_end=args.t_end,
+        exact_t_end=True,  # land ON t_end: the reference loop overshoots
+        # by up to dt (quirk Q11), an O(dt) error vs p_exact(t_end) that
+        # dominates Heun's O(dt^2) (measured L2 = ||dp/dt||_2 * dt)
         n_samples_tdvp=args.samples,
         n_samples_obs=args.samples,
         precision="tpu" if args.tpu else "f64",

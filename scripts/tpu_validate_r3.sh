@@ -17,10 +17,12 @@ timeout 1800 python scripts/bench_persample.py --rhs \
 # 3. Headline bench at the round-3 operating point
 timeout 3600 python bench.py 2>&1 | tee results/bench_full_r3b.txt
 
-# 4. North-star L2 on 2-D diffusion at a TPU-enabled budget (N=1e6,
-#    dt=1e-3, f64-grade statistics): the accumulated MC random walk
-#    scales ~sqrt(t*dt/N), so this should approach the 1e-5 target the
-#    matched reference budget (1.1e-3 measured on CPU f64) cannot.
-timeout 3600 python scripts/northstar_l2.py --tpu --samples 1000000 \
-    --max-step 0.001 --gram-f64 --aot-dir /root/repo/.aot_cache \
+# 4. North-star L2: ALREADY PASSED ON CPU at the matched reference budget
+#    (L2 = 1.12e-6 vs target 1e-5, results/northstar_l2.txt) once the
+#    t_end-overshoot artifact (quirk Q11) was removed via exact_t_end.
+#    TPU stage is now just a cheap confirmation that the f32 compute path
+#    holds the target too (floor is the 1e-5-scale init representation
+#    error, not precision).
+timeout 1800 python scripts/northstar_l2.py --tpu \
+    --aot-dir /root/repo/.aot_cache \
     2>&1 | tee -a results/northstar_l2.txt

@@ -384,3 +384,101 @@ def test_adaptive_host_solve_matfree_norm():
     infos = rec.as_arrays()
     assert np.isfinite(infos["entropy"]).all()
     assert infos["times"][-1] > 5e-4  # dt accepted and grew
+
+
+def test_exact_t_end_lands_on_t_end():
+    """exact_t_end=True clamps the final dt so the state IS at t_end.
+
+    The reference's loop `while t < t_end + dt` (main.py:159) overshoots
+    t_end by up to a full dt (quirk Q11): with dt=4e-3 and t_end=0.019 it
+    integrates to t=0.024.  The clamped run must stop the step sequence at
+    0.016 + 3e-3 = 0.019 and its second moment must match 1 + 2*t_end
+    (closed form) rather than 1 + 2*(t_end + overshoot)."""
+    from vmc_pde_tpu.utils.grid import Grid
+
+    kw = dict(n_samples_tdvp=512, n_samples_obs=512, dt0=4e-3, max_step=4e-3,
+              t_end=0.019, precision="f64", verbose=False, grid_points=30)
+    cfg_ref = preset("mwe", **kw)
+    cfg_exact = preset("mwe", exact_t_end=True, **kw)
+
+    state_r, rec_r = run(cfg_ref)
+    state_e, rec_e = run(cfg_exact)
+    times_r = rec_r.as_arrays()["times"]
+    times_e = rec_e.as_arrays()["times"]
+    # reference semantics: steps START at 0, 4e-3, ..., 0.020 (final state
+    # at 0.024); exact: last step starts at 0.016 with dt clamped to 3e-3
+    assert times_r[-1] >= 0.019  # overshoot: a step STARTING past t_end
+    np.testing.assert_allclose(times_e[-1], 0.016, atol=1e-12)
+    assert times_e.shape[0] == 5
+
+    # quadrature second moment of the final density: Var = 1 + 2 t
+    grid = Grid(np.ones(2) * 8.0, 161, sym=True)
+    coords = jnp.asarray(grid.coords, state_e.precision.compute)
+    p = np.exp(np.asarray(state_e(coords, "eval")))
+    var = float(np.sum(np.sum(grid.coords**2, axis=1) * p)
+                * grid.bin_area) / 2.0
+    np.testing.assert_allclose(var, 1.0 + 2 * 0.019, atol=2e-4)
+    # and the un-clamped run sits at 1 + 2 * (its actual final time)
+    p_r = np.exp(np.asarray(state_r(coords, "eval")))
+    var_r = float(np.sum(np.sum(grid.coords**2, axis=1) * p_r)
+                  * grid.bin_area) / 2.0
+    assert var_r > 1.0 + 2 * 0.022  # visibly past t_end
+
+
+def test_exact_t_end_batched_matches_perstep():
+    """steps_per_dispatch > 1 with exact_t_end: the batch planner clamps
+    the simulated ramp exactly like the per-step path (bit-identical).
+    dim=4 (no 2-D grid) so the batched branch actually engages."""
+    from vmc_pde_tpu.config import RunConfig
+
+    def _cfg(**kw):
+        base = dict(
+            name="exact_t_end_test", dim=4, offset=(0.0,) * 4,
+            latent_name="Gauss", equation="diffusion", variant="scale",
+            dt0=2e-3, max_step=2e-3, increase_fac=1.3, t_end=0.011,
+            n_samples_tdvp=256, n_samples_obs=256, seed=3, sample_seed=3,
+            precision="f64", exact_t_end=True, workdir=None, verbose=False,
+        )
+        base.update(kw)
+        return RunConfig(**base)
+
+    s1, r1 = run(_cfg(steps_per_dispatch=1))
+    s2, r2 = run(_cfg(steps_per_dispatch=3))
+    a1, a2 = r1.as_arrays(), r2.as_arrays()
+    # 6 steps: 5 * 2e-3 + clamped 1e-3 == 0.011 exactly
+    np.testing.assert_allclose(a1["times"][-1], 0.010, atol=1e-12)
+    np.testing.assert_array_equal(a1["times"], a2["times"])
+    # same ramp plan and RNG stream; trajectories agree to float-codegen
+    # noise (XLA compiles the scan body and the standalone pair program
+    # with different fusions at some shapes -- observed ~1e-14 relative
+    # on this config, unrelated to the exact_t_end clamp)
+    np.testing.assert_allclose(a1["entropy"], a2["entropy"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s2.get_parameters()),
+                               rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_northstar_l2_small():
+    """North-star #1 (BASELINE.md): L2 density error vs the closed form
+    N(0, (1+2t) I) <= 1e-5 -- held even at a small budget (N=1024, 10 Heun
+    steps) because the error floor is the 1e-5-scale init representation
+    error, not MC noise (results/northstar_l2.txt; the full reference-
+    condition run measures 1.12e-6)."""
+    from vmc_pde_tpu.utils.grid import Grid
+
+    t_end = 0.06
+    cfg = preset(
+        "mwe", n_samples_tdvp=1024, n_samples_obs=1024, dt0=6e-3,
+        max_step=6e-3, t_end=t_end, precision="f64", exact_t_end=True,
+        verbose=False, grid_points=30,
+    )
+    state, _ = run(cfg)
+    grid = Grid(np.ones(2) * 10.0, 201, sym=True)
+    coords = jnp.asarray(grid.coords, state.precision.compute)
+    p = np.exp(np.asarray(state(coords, "eval")))
+    s2 = 1.0 + 2.0 * t_end
+    q = np.sum(grid.coords**2, axis=1) / s2
+    p_exact = np.exp(-0.5 * q) / (2.0 * np.pi * s2)
+    l2 = float(np.sqrt(np.sum((p - p_exact) ** 2) * grid.bin_area))
+    assert l2 <= 1e-5, l2

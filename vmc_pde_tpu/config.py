@@ -84,6 +84,13 @@ class RunConfig:
     increase_fac: float = 1.3
     tol: float = 1e-2               # adaptive stepper tolerance
     t_end: float = 5.0
+    # Land the final step EXACTLY on t_end (clamp its dt). The reference's
+    # loop `while t < t_end + dt` (main.py:159) overshoots t_end by up to a
+    # full dt (quirk Q11) -- any final-state comparison against an analytic
+    # solution at t_end then carries a spurious O(dt) error that dominates
+    # Heun's O(dt^2) (measured: L2 = ||dp/dt|| * dt on the mwe workload).
+    # Default False = reference-compatible trajectories.
+    exact_t_end: bool = False
     # >1 batches that many fixed-Heun steps into ONE device dispatch
     # (lax.scan in TDVP.heun_multi), amortizing host dispatch latency;
     # RNG/physics/recorded infos identical to per-step integration (MCMC
@@ -153,6 +160,22 @@ PRESETS = {
         name="harmonicOsc_diff", dim=6, offset=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0),
         latent_name="Gauss", equation="advection_hamiltonian_wDiss",
         variant="affine", dt0=1e-4, max_step=1e-2, grid_bound=8.0,
+    ),
+    # BASELINE.json config 3: anharmonic/double-well Fokker-Planck with
+    # Metropolis sampling and the SVD-regularized TDVP solve. A temperature
+    # quench: the initial density is the double-well Boltzmann latent at
+    # T0 = 1.5 (models/latent.py double_well_log_prob -- no closed-form
+    # normalization, so it NEEDS the Metropolis sampler, rw proposals),
+    # evolving under the same potential V(x) = -2 x^2 + x^4 (wells at
+    # x = +-1, barrier 1) coupled to a colder bath T = 0.5: both marginals
+    # sharpen toward the bimodal exp(-H/T) stationary state.
+    "doubleWell": _preset(
+        name="doubleWell", dim=2, offset=(0.0, 0.0),
+        latent_name="double_well",
+        equation="advection_hamiltonian_wDiss", variant="affine",
+        equation_params={"v2": -4.0, "lam": 1.0, "T": 0.5},
+        proposal_mode="rw", rw_scale=0.8,
+        dt0=1e-4, max_step=2e-3, grid_bound=4.0, mcmc_bound=2.5,
     ),
     "diffusion": _preset(
         name="diffusion", dim=8, offset=(0.0,) * 8, latent_name="Student_t",

@@ -251,6 +251,15 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         and not cfg.profile_dir
     )
 
+    # exact_t_end: stop at t_end (clamping the final dt) instead of the
+    # reference's `while t < t_end + dt` overshoot (main.py:159, quirk Q11)
+    t_eps = 1e-12 * max(1.0, abs(cfg.t_end))
+
+    def more_steps(t, dt):
+        if cfg.exact_t_end:
+            return t < cfg.t_end - t_eps
+        return t < cfg.t_end + dt
+
     def plan_batch(t, dt, n_step, steps_done):
         """(K, ts, dts) for the next batch: the deterministic ramp
         dt <- min(dt * increase_fac, max_step) simulated K steps ahead,
@@ -264,9 +273,11 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         ts_l, dts_l = [], []
         t_sim, dt_sim = t, dt
         for _ in range(K):
-            if not (t_sim < cfg.t_end + dt_sim):
+            if not more_steps(t_sim, dt_sim):
                 return 1, (), ()
             dt_sim = min(dt_sim * stepper.increase_fac, stepper.maxStep)
+            if cfg.exact_t_end:
+                dt_sim = min(dt_sim, cfg.t_end - t_sim)
             ts_l.append(t_sim)
             dts_l.append(dt_sim)
             t_sim += dt_sim
@@ -274,7 +285,7 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
 
     steps_done = 0
     profiling = False
-    while t < cfg.t_end + dt and steps_done < max_steps:
+    while more_steps(t, dt) and steps_done < max_steps:
         if multi_ok:
             K, ts_l, dts_l = plan_batch(t, dt, n_step, steps_done)
             if K > 1:
@@ -322,7 +333,9 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         key, step_key = jax.random.split(key)
         with timings.section("step"):
             res = stepper.step(t, f, theta, step_key,
-                               normFunction=norm_fn)
+                               normFunction=norm_fn,
+                               dt_cap=(cfg.t_end - t if cfg.exact_t_end
+                                       else None))
         theta, dt, info = res.y, res.dt_used, res.info
         pending_nan.append((info["nan"], t))
         state.set_parameters(theta)
@@ -448,6 +461,10 @@ def main(argv=None):
                         "statistics (Student_t latent; TDVPConfig.is_gamma)")
     p.add_argument("--stepper", type=str, default=None,
                    choices=["fixed_heun", "fixed_euler", "adaptive_heun"])
+    p.add_argument("--exact-t-end", action="store_true",
+                   help="clamp the final dt to land exactly on t_end "
+                        "(the reference loop overshoots by up to one dt, "
+                        "quirk Q11)")
     p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help=">1: batch that many fixed-Heun steps into one "
                         "device dispatch (lax.scan; disables per-step "
@@ -518,6 +535,8 @@ def main(argv=None):
         overrides["is_gamma"] = args.is_gamma
     if args.stepper is not None:
         overrides["stepper"] = args.stepper
+    if args.exact_t_end:
+        overrides["exact_t_end"] = True
     if args.steps_per_dispatch is not None:
         overrides["steps_per_dispatch"] = args.steps_per_dispatch
         if args.steps_per_dispatch > 1:

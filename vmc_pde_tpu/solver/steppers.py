@@ -49,9 +49,11 @@ class FixedStepper:
         self.mode = mode
         self.pair_fn = pair_fn
 
-    def step(self, t, f, y, key, normFunction=None):
+    def step(self, t, f, y, key, normFunction=None, dt_cap=None):
+        # dt_cap clamps THIS step only (driver's exact_t_end landing);
+        # self.dt keeps the undamped ramp value.
         self.dt = min(self.dt * self.increase_fac, self.maxStep)
-        dt = self.dt
+        dt = self.dt if dt_cap is None else min(self.dt, float(dt_cap))
         if self.mode == "Heun":
             if self.pair_fn is not None:
                 dy, info = self.pair_fn(y, t, dt, key)
@@ -99,12 +101,12 @@ class AdaptiveHeun:
         self.maxStep = float(maxStep)
         self.attempt_fn = attempt_fn
 
-    def step(self, t, f, y, key, normFunction=None):
+    def step(self, t, f, y, key, normFunction=None, dt_cap=None):
         if normFunction is None:
             normFunction = lambda v, S: jnp.linalg.norm(v)
 
         fe = 0.5
-        dt = self.dt
+        dt = self.dt if dt_cap is None else min(self.dt, float(dt_cap))
         y0 = y
         attempt = 0
         while fe < 1.0:
@@ -147,6 +149,8 @@ class AdaptiveHeun:
             scale = max(0.2, min(2.0, 0.9 * fe ** (1.0 / 3.0)))
             real_dt = dt
             dt = min(dt * scale, self.maxStep)
+            if dt_cap is not None:
+                dt = min(dt, float(dt_cap))
             attempt += 1
 
         self.dt = dt
