@@ -191,3 +191,35 @@ def test_make_equation_registry():
         assert eq.name == name
     with pytest.raises(ValueError):
         evolution.make_equation("nope", dim=2)
+
+
+def test_double_well_eloc_analytic():
+    """Anharmonic/double-well FP (v2 < 0, lam > 0; BASELINE.json config 3):
+    the standard-normal identity-flow closed form with the quartic force.
+    V(x) = v2/2 x^2 + lam x^4 => dp/dt drift -V'(x) = -v2 x - 4 lam x^3."""
+    dim = 2
+    fl, params = identity_flow(dim)
+    v2, lam, T, gamma = -4.0, 1.0, 0.5, 1.0
+    eq = evolution.FokkerPlanck(m=1.0, omega=1.0, T=T, gamma=gamma,
+                                lam=lam, v2=v2)
+    x = jnp.array([[1.5, -0.5], [0.0, 2.0], [-1.0, 0.3]])
+    eloc = _eloc(eq, fl, params, x)
+    xa = np.asarray(x)
+    q, p = xa[:, 0], xa[:, 1]
+    g = -xa  # grad logp of the standard normal
+    v_q = p                          # dH/dp
+    v_p = -(v2 * q + 4 * lam * q**3)  # -dH/dq
+    adv = -(g[:, 0] * v_q + g[:, 1] * v_p)
+    diff = gamma * T * (p**2 - 1.0)   # m gamma T (g_p^2 + H_pp)
+    damp = gamma * p * (-p)
+    np.testing.assert_allclose(np.asarray(eloc), adv + diff + damp,
+                               rtol=1e-10)
+
+
+def test_double_well_velocity_minima_are_fixed_points():
+    """v = J grad H vanishes at the well bottoms (x = +-1, p = 0) for
+    V(x) = -2 x^2 + x^4."""
+    for xw in (1.0, -1.0):
+        v = evolution.velocity_field_hamiltonian(
+            jnp.array([xw, 0.0]), t=0.0, v2=-4.0, lam=1.0)
+        np.testing.assert_allclose(np.asarray(v), [0.0, 0.0], atol=1e-12)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import gammaln
 
-NAMES = ("Gauss", "Student_t", "cos_dist")
+NAMES = ("Gauss", "Student_t", "cos_dist", "double_well")
 EXACT_NAMES = ("Gauss", "Student_t")  # closed-form samplers exist
 
 # Normalization of the 2D cosine bump f(x) = (1 + cos(pi * min(1, 4|x|)))/2:
@@ -43,7 +43,7 @@ _COS_BUMP_LOG_Z_2D = float(np.log(np.pi / 32.0 - 1.0 / (8.0 * np.pi)))
 
 def n_extra_params(name: str) -> int:
     """Number of extra scalar distribution parameters (net.py:197-198)."""
-    return {"Gauss": 0, "Student_t": 1, "cos_dist": 0}[name]
+    return {"Gauss": 0, "Student_t": 1, "cos_dist": 0, "double_well": 0}[name]
 
 
 def init_params(dim: int, name: str, dtype=jnp.float32):
@@ -119,6 +119,41 @@ def cos_bump_log_prob(latent_params, dim: int, x):
     return jnp.log(0.5 * (1.0 + jnp.cos(jnp.pi * r))) - _COS_BUMP_LOG_Z_2D
 
 
+# Double-well Boltzmann latent (no reference counterpart; BASELINE.json
+# config 3 "anharmonic/double-well Fokker-Planck with Metropolis sampling").
+# Phase-space [x, p] layout, a thermal state of the double-well Hamiltonian
+# at the QUENCH temperature T0:
+#     p(z) \propto exp(-( DW_V2/2 x^2 + DW_LAM x^4 + p^2/2 ) / DW_T0)
+# The x-marginal normalization has no closed form -- exactly why this latent
+# needs the Metropolis sampler -- so log Zx is computed once by quadrature
+# (eager, f64). Constants match the `doubleWell` preset's bath potential
+# (v2=-4, lam=1: wells at x=+-1, barrier 1) with T0 = 3 x the bath T=0.5,
+# so the workload is a temperature quench toward the sharper bimodal
+# stationary state.
+DW_V2, DW_LAM, DW_T0 = -4.0, 1.0, 1.5
+
+
+def _dw_log_zx():
+    xs = np.linspace(-8.0, 8.0, 400001)
+    v = 0.5 * DW_V2 * xs**2 + DW_LAM * xs**4
+    return float(np.log(np.trapezoid(np.exp(-v / DW_T0), xs)))
+
+
+_DW_LOG_Z = _dw_log_zx() + 0.5 * float(np.log(2.0 * np.pi * DW_T0))
+
+
+def double_well_log_prob(latent_params, dim: int, x):
+    """Normalized double-well Boltzmann density for a single z = [x, p].
+    The Cholesky/mean latent parameters are unused (the distribution is
+    fixed; the flow learns all deformation), like the cosine bump. 2D
+    phase space only."""
+    if dim != 2:
+        raise ValueError("double_well latent is defined for dim=2 ([x, p])")
+    q, p = x[0], x[1]
+    h = 0.5 * DW_V2 * q**2 + DW_LAM * q**4 + 0.5 * p**2
+    return -h / DW_T0 - _DW_LOG_Z
+
+
 def student_t_tempered_sample(key, latent_params, dim: int, n: int,
                               gamma, dtype=jnp.float32):
     """Tail-tempered importance proposal for Student-t TDVP statistics
@@ -151,6 +186,8 @@ def log_prob(name: str, latent_params, dim: int, x):
         return student_t_log_prob(latent_params, dim, x)
     if name == "cos_dist":
         return cos_bump_log_prob(latent_params, dim, x)
+    if name == "double_well":
+        return double_well_log_prob(latent_params, dim, x)
     raise ValueError(f"unknown latent distribution {name!r}")
 
 

@@ -54,22 +54,29 @@ def velocity_field_mlpaper(coord, t, T=5.0):
     )
 
 
-def hamiltonian(coord, m=1.0, omega=1.0, lam=0.0, coupled=False):
+def hamiltonian(coord, m=1.0, omega=1.0, lam=0.0, coupled=False, v2=1.0):
     """Harmonic(+quartic) Hamiltonian on [x1,p1,x2,p2,...] layout
-    (evolutionEq.py:32-42)."""
+    (evolutionEq.py:32-42). ``v2`` scales the quadratic potential term:
+    v2 < 0 with lam > 0 gives the double well
+    V(x) = v2 m omega^2/2 x^2 + lam x^4 (minima at
+    +-sqrt(-v2 m omega^2 / (4 lam)), barrier v2^2 m^2 omega^4 / (16 lam))
+    -- BASELINE.json config 3; the reference's Hamiltonian is the v2=1
+    special case."""
     xs = coord[0::2]
     ps = coord[1::2]
     if coupled:
         pot = m * omega**2 / 2.0 * jnp.sum((xs - jnp.roll(xs, 1)) ** 2)
     else:
         pot = m * omega**2 / 2.0 * jnp.sum(xs**2)
-    return pot + jnp.sum(ps**2) / (2.0 * m) + lam * jnp.sum(xs**4)
+    return v2 * pot + jnp.sum(ps**2) / (2.0 * m) + lam * jnp.sum(xs**4)
 
 
-def velocity_field_hamiltonian(coord, t, m=1.0, omega=1.0, lam=0.0, coupled=False):
+def velocity_field_hamiltonian(coord, t, m=1.0, omega=1.0, lam=0.0,
+                               coupled=False, v2=1.0):
     """Symplectic flow v = J grad H: dx/dt = dH/dp, dp/dt = -dH/dx
     (evolutionEq.py:30-45)."""
-    grads = jax.grad(hamiltonian)(coord, m=m, omega=omega, lam=lam, coupled=coupled)
+    grads = jax.grad(hamiltonian)(coord, m=m, omega=omega, lam=lam,
+                                  coupled=coupled, v2=v2)
     n_pairs = coord.shape[0] // 2
     J = jnp.kron(jnp.eye(n_pairs), jnp.array([[0.0, 1.0], [-1.0, 0.0]]))
     return (J @ grads).astype(coord.dtype)
@@ -208,12 +215,13 @@ class AdvectionHamiltonian(Equation):
     omega: float = 1.0
     lam: float = 0.0
     coupled: bool = False
+    v2: float = 1.0  # quadratic-potential prefactor; < 0 => double well
     name: str = "advection_hamiltonian"
 
     def velocity(self, x, t):
         return jax.vmap(
             lambda c: velocity_field_hamiltonian(
-                c, t, self.m, self.omega, self.lam, self.coupled
+                c, t, self.m, self.omega, self.lam, self.coupled, self.v2
             )
         )(x)
 

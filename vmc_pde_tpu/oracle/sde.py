@@ -22,6 +22,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.evolution import velocity_field_hamiltonian, velocity_field_mlpaper
 
@@ -33,10 +34,12 @@ def drift_diffusion(coord, t, dt, key, D=1.0, **_):
 
 
 def drift_phase_space(coord, t, dt, key, m=1.0, omega=1.0, lam=0.0,
-                      gamma=1.0, T=10.0, **_):
-    """Hamiltonian advection + momentum noise + damping (exact_dyn.py:55-62)."""
+                      gamma=1.0, T=10.0, v2=1.0, **_):
+    """Hamiltonian advection + momentum noise + damping (exact_dyn.py:55-62).
+    ``v2`` < 0 with ``lam`` > 0: the double-well potential (config 3)."""
     mask = jnp.zeros_like(coord).at[1::2].set(1.0)
-    v_adv = velocity_field_hamiltonian(coord, t, m=m, omega=omega, lam=lam)
+    v_adv = velocity_field_hamiltonian(coord, t, m=m, omega=omega, lam=lam,
+                                       v2=v2)
     v_diff = jnp.sqrt(2.0 * m * gamma * T / dt) * jax.random.normal(
         key, coord.shape, dtype=coord.dtype
     )
@@ -77,6 +80,26 @@ def mcmc_init_cloud(key, n: int, offset, bound: float = 0.25,
         radial_proposal, n_steps, info,
     )
     return samples[burn_in * n_chains:][:n]
+
+
+def double_well_init_cloud(key, n: int, dtype=jnp.float64):
+    """Exact particle cloud from the double-well Boltzmann latent
+    (models/latent.py double_well_log_prob, quench temperature DW_T0):
+    x by inverse-CDF on a dense quadrature grid (the marginal has no
+    closed form), p ~ N(0, DW_T0). Independent of the model's Metropolis
+    chains, so oracle-vs-model comparisons share no sampling machinery."""
+    from ..models.latent import DW_LAM, DW_T0, DW_V2
+
+    xs = np.linspace(-8.0, 8.0, 400001)
+    pdf = np.exp(-(0.5 * DW_V2 * xs**2 + DW_LAM * xs**4) / DW_T0)
+    cdf = np.cumsum(pdf)
+    cdf /= cdf[-1]
+    k_u, k_p = jax.random.split(key)
+    u = np.asarray(jax.random.uniform(k_u, (n,), dtype=jnp.float64))
+    x = np.interp(u, cdf, xs)
+    p = np.sqrt(DW_T0) * np.asarray(
+        jax.random.normal(k_p, (n,), dtype=jnp.float64))
+    return jnp.asarray(np.stack([x, p], axis=1), dtype=dtype)
 
 
 def rk4_sde_step(coord, t, dt, key, drift: Callable, params: dict):

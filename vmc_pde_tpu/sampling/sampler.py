@@ -185,12 +185,20 @@ class Sampler:
         if self.mcmc_info is None:
             self.mcmc_info = {"offset": jnp.zeros(self.dim), "bound": 0.25}
         if not self.exact and self.latent_log_prob is None:
-            if self.name != "cos_dist":
+            if self.name == "cos_dist":
+                off = jnp.asarray(self.mcmc_info["offset"])
+                self.latent_log_prob = partial(cos_dist_log_prob, offset=off)
+            elif self.name == "double_well":
+                # same target the flow's latent log-density evaluates
+                # (models/latent.py double_well_log_prob); shifted by the
+                # chain offset like the cosine bump
+                off = jnp.asarray(self.mcmc_info["offset"])
+                self.latent_log_prob = lambda x: latent_mod.double_well_log_prob(
+                    None, self.dim, x - off)
+            else:
                 raise ValueError(
                     f"non-exact latent {self.name!r} needs latent_log_prob"
                 )
-            off = jnp.asarray(self.mcmc_info["offset"])
-            self.latent_log_prob = partial(cos_dist_log_prob, offset=off)
         if not self.exact and self.kernel_log_prob is None and \
                 self.name == "cos_dist":
             from ..kernels.metropolis import cos_bump_log_prob
