@@ -482,3 +482,26 @@ def test_northstar_l2_small():
     p_exact = np.exp(-0.5 * q) / (2.0 * np.pi * s2)
     l2 = float(np.sqrt(np.sum((p - p_exact) ** 2) * grid.bin_area))
     assert l2 <= 1e-5, l2
+
+
+def test_exact_t_end_adaptive():
+    """exact_t_end with the adaptive stepper: the attempted dt is capped
+    by the remaining time, so the run lands ON t_end (the second moment
+    matches 1 + 2 t_end, not 1 + 2 (t_end + overshoot))."""
+    from vmc_pde_tpu.utils.grid import Grid
+
+    t_end = 0.03
+    cfg = preset(
+        "mwe", stepper="adaptive_heun", n_samples_tdvp=512,
+        n_samples_obs=512, dt0=2e-3, tol=1e-2, max_step=8e-3, t_end=t_end,
+        precision="f64", exact_t_end=True, verbose=False, grid_points=30,
+    )
+    state, rec = run(cfg)
+    times = rec.as_arrays()["times"]
+    assert times[-1] < t_end  # every step STARTS before t_end
+    grid = Grid(np.ones(2) * 8.0, 161, sym=True)
+    coords = jnp.asarray(grid.coords, state.precision.compute)
+    p = np.exp(np.asarray(state(coords, "eval")))
+    var = float(np.sum(np.sum(grid.coords**2, axis=1) * p)
+                * grid.bin_area) / 2.0
+    np.testing.assert_allclose(var, 1.0 + 2 * t_end, atol=3e-4)
