@@ -194,3 +194,43 @@ def test_syrk_small_tile_autoshrink():
     S = np.asarray(syrk(jnp.asarray(O), tile=512, chunk=256, interpret=True))
     ref = O.T @ O
     np.testing.assert_allclose(S, ref, atol=2e-5 * np.abs(ref).max())
+
+
+def test_metropolis_kernel_sharded_matches_single_device(ctx8):
+    """The dp-sharded kernel (shard_map, one instance per device on its
+    chain shard) replays BIT-IDENTICALLY to the single-device kernel when
+    fed the same external uniforms: the uniform block is split by chain
+    column, so every chain consumes exactly the same randomness either
+    way. Acceptance counts psum to the same total."""
+    from vmc_pde_tpu.kernels.metropolis import (
+        metropolis_chain_pallas_sharded)
+    from vmc_pde_tpu.parallel.mesh import ParallelCtx
+
+    C, d, bound = 8 * 128, 2, 0.25
+    offset = np.array([0.25, 0.25], np.float32)
+    n_steps = 2 * SWEEPS_PER_BLOCK
+    u = jax.random.uniform(
+        jax.random.PRNGKey(7), (2 * d + 2, n_steps * C), dtype=jnp.float32,
+        minval=1e-7, maxval=1.0 - 1e-7,
+    )
+    init = np.tile(offset, (C, 1)).astype(np.float32)
+
+    s1, f1, a1 = metropolis_chain_pallas(
+        0, init, cos_bump_log_prob, n_steps, bound, offset,
+        interpret=True, uniforms=u)
+    s8, f8, a8 = metropolis_chain_pallas_sharded(
+        ctx8, 0, init, cos_bump_log_prob, n_steps, bound, offset,
+        interpret=True, uniforms=u)
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(f8), np.asarray(f1))
+    assert a8 == a1
+    # dp=1 passthrough returns the single-device path unchanged
+    s0, f0, a0 = metropolis_chain_pallas_sharded(
+        ParallelCtx.single_device(), 0, init, cos_bump_log_prob, n_steps,
+        bound, offset, interpret=True, uniforms=u)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    # chain counts must tile 128 lanes PER DEVICE
+    with pytest.raises(ValueError, match="128"):
+        metropolis_chain_pallas_sharded(
+            ctx8, 0, init[:512], cos_bump_log_prob, n_steps, bound, offset,
+            interpret=True, uniforms=u[:, : n_steps * 512])

@@ -188,6 +188,85 @@ def metropolis_chain_pallas(
     return samples, final_states, int(n_acc[0])
 
 
+def metropolis_chain_pallas_sharded(
+    ctx,
+    seed: int,
+    init_states,
+    log_prob,
+    n_steps: int,
+    bound: float,
+    offset,
+    interpret: bool = False,
+    uniforms=None,
+):
+    """The chain ensemble dp-sharded over the mesh: shard_map the single-
+    device kernel, each device running its n_chains/dp chain shard
+    (multiple of 128). Hardware-PRNG streams decorrelate per device by
+    seed + dp_index * n_blocks (each block consumes seed + block_id, so
+    the per-device windows are disjoint); tp replicas see the same dp
+    index and produce identical samples, matching the dp-only sharding the
+    downstream statistics expect. With external ``uniforms`` (the CI path)
+    the (rows, n_steps * n_chains) block is split by CHAIN column, so a
+    sharded run replays bit-identically to the single-device kernel fed
+    the same uniforms (tests/test_kernels.py). Same returns/ordering as
+    metropolis_chain_pallas (sweep-major rows)."""
+    from jax.sharding import PartitionSpec as P
+
+    init_states = jnp.asarray(init_states, dtype=jnp.float32)
+    n_chains, dim = init_states.shape
+    dp = ctx.dp_size
+    if dp == 1:
+        return metropolis_chain_pallas(seed, init_states, log_prob, n_steps,
+                                       bound, offset, interpret=interpret,
+                                       uniforms=uniforms)
+    local = n_chains // dp
+    if n_chains % dp or local % 128:
+        raise ValueError(
+            f"n_chains = {n_chains} must be a multiple of 128 * dp "
+            f"(= {128 * dp}) for the dp-sharded kernel")
+    offset_arr = jnp.asarray(
+        np.asarray(offset, dtype=np.float32).reshape(dim, 1))
+    K = SWEEPS_PER_BLOCK
+    n_steps = ((int(n_steps) + K - 1) // K) * K
+    n_blocks = n_steps // K
+    ext = uniforms is not None
+    call = _build_call(log_prob, n_steps, local, dim, float(bound), K,
+                       interpret, ext)
+
+    if ext:
+        u = jnp.asarray(uniforms, dtype=jnp.float32)
+        expected = (2 * dim + 2, n_steps * n_chains)
+        if u.shape != expected:
+            raise ValueError(
+                f"uniforms must have shape {expected}, got {u.shape}")
+        # column j*n_chains + c belongs to chain c: split by chain axis
+        first = u.reshape(2 * dim + 2, n_steps, n_chains)
+        first_spec = P(None, None, "dp")
+    else:
+        first = jnp.asarray([seed], dtype=jnp.int32)
+        first_spec = P()
+
+    def body(first_l, init_l, off_l):
+        if ext:
+            u_l = first_l.reshape(2 * dim + 2, n_steps * local)
+            s, f, acc = call(u_l, init_l.T, off_l)
+        else:
+            idx = jax.lax.axis_index("dp").astype(jnp.int32)
+            s, f, acc = call(first_l + idx * jnp.int32(n_blocks),
+                             init_l.T, off_l)
+        s = s.reshape(n_steps, local, dim)
+        return s, f, jax.lax.psum(acc, "dp")
+
+    smap = jax.shard_map(
+        body, mesh=ctx.mesh,
+        in_specs=(first_spec, P("dp", None), P(None, None)),
+        out_specs=(P(None, "dp", None), P("dp", None), P()),
+        check_vma=False)
+    samples, final_states, n_acc = smap(first, init_states, offset_arr)
+    return (samples.reshape(n_steps * n_chains, dim), final_states,
+            int(n_acc[0]))
+
+
 @functools.lru_cache(maxsize=64)
 def _build_call(log_prob, n_steps, n_chains, dim, bound, K, interpret,
                 external_uniforms=False):

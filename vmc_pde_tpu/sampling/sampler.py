@@ -211,7 +211,8 @@ class Sampler:
                 not self.exact
                 and on_tpu
                 and self.kernel_log_prob is not None
-                and self.n_chains % 128 == 0
+                # dp-sharded: each device's chain shard rides full VPU lanes
+                and self.n_chains % (128 * self.ctx.dp_size) == 0
                 and self.proposal_mode == "independence"
             )
         elif self.use_pallas and self.proposal_mode != "independence":
@@ -374,15 +375,18 @@ class Sampler:
 
     def _sample_mcmc_pallas(self, key, n_total: int, n_steps: int):
         """TPU-resident path: the whole chain ensemble runs inside one
-        Pallas kernel with the hardware PRNG (kernels/metropolis.py)."""
+        Pallas kernel with the hardware PRNG (kernels/metropolis.py);
+        on multi-device meshes the chains shard over dp (shard_map, one
+        kernel instance per device with a disjoint PRNG stream)."""
         from ..kernels.metropolis import (SWEEPS_PER_BLOCK,
-                                          metropolis_chain_pallas)
+                                          metropolis_chain_pallas_sharded)
 
         # the kernel rounds the sweep count up to whole blocks; account for
         # the actually-proposed sweeps so acceptance_rate stays in [0, 1]
         n_steps_actual = -(-n_steps // SWEEPS_PER_BLOCK) * SWEEPS_PER_BLOCK
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
-        samples, self._states, n_acc = metropolis_chain_pallas(
+        samples, self._states, n_acc = metropolis_chain_pallas_sharded(
+            self.ctx,
             seed,
             self._states,
             self.kernel_log_prob,
