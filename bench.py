@@ -285,6 +285,28 @@ def main():
     if args.samples < 1 or args.dim < 2 or args.dim % 2:
         ap.error("--samples must be >= 1 and --dim an even integer >= 2")
 
+    # Device-probe watchdog: this image's TPU goes through a remote tunnel
+    # that can be DOWN, in which case the first backend query blocks
+    # forever. Probe it in a subprocess with a timeout and emit an honest
+    # machine-readable failure line instead of hanging the bench harness.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=180, check=False)
+        probe_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "d32_fokker_planck_rhs_throughput",
+            "value": 0, "unit": "samples/s/chip", "vs_baseline": 0,
+            "error": "accelerator unreachable (remote TPU tunnel down); "
+                     "see BENCHMARKS.md for the last measured numbers",
+        }))
+        return
+
     import jax
 
     from vmc_pde_tpu.utils.cache import enable_compilation_cache
