@@ -291,19 +291,28 @@ def main():
     # machine-readable failure line instead of hanging the bench harness.
     import subprocess
 
+    why = None
     try:
         probe = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=180, check=False)
-        probe_ok = probe.returncode == 0
+            capture_output=True, timeout=300, check=False)
+        if probe.returncode != 0:
+            tail = probe.stderr.decode(errors="replace").strip()[-300:]
+            why = f"backend init failed (rc={probe.returncode}): {tail}"
     except subprocess.TimeoutExpired:
-        probe_ok = False
-    if not probe_ok:
+        # cannot distinguish a dead tunnel from a concurrent TPU process
+        # holding the chip or an overloaded session (CLAUDE.md gotchas) --
+        # all of them would hang the real bench just the same
+        why = ("backend probe timed out after 300 s: remote TPU tunnel "
+               "down, a concurrent TPU process holding the chip, or "
+               "session overload")
+    if why is not None:
+        log(f"DEVICE PROBE FAILED: {why}")
         print(json.dumps({
             "metric": "d32_fokker_planck_rhs_throughput",
             "value": 0, "unit": "samples/s/chip", "vs_baseline": 0,
-            "error": "accelerator unreachable (remote TPU tunnel down); "
-                     "see BENCHMARKS.md for the last measured numbers",
+            "error": f"not a measurement -- {why}; see BENCHMARKS.md for "
+                     "the last measured numbers",
         }))
         return
 

@@ -27,6 +27,13 @@ def main():
 
     import jax
 
+    # honor JAX_PLATFORMS=cpu BEFORE the first backend query: this image's
+    # sitecustomize force-selects the TPU backend over the env var, and a
+    # default_backend() probe hangs outright when the remote TPU tunnel is
+    # down (CLAUDE.md gotcha)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     precision = args.precision or (
         "f64" if jax.default_backend() == "cpu" else "tpu"
     )

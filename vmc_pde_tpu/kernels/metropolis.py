@@ -230,8 +230,8 @@ def metropolis_chain_pallas_sharded(
     n_steps = ((int(n_steps) + K - 1) // K) * K
     n_blocks = n_steps // K
     ext = uniforms is not None
-    call = _build_call(log_prob, n_steps, local, dim, float(bound), K,
-                       interpret, ext)
+    smap = _build_sharded_call(ctx.mesh, log_prob, n_steps, local, dim,
+                               float(bound), K, interpret, ext)
 
     if ext:
         u = jnp.asarray(uniforms, dtype=jnp.float32)
@@ -241,10 +241,30 @@ def metropolis_chain_pallas_sharded(
                 f"uniforms must have shape {expected}, got {u.shape}")
         # column j*n_chains + c belongs to chain c: split by chain axis
         first = u.reshape(2 * dim + 2, n_steps, n_chains)
-        first_spec = P(None, None, "dp")
     else:
         first = jnp.asarray([seed], dtype=jnp.int32)
-        first_spec = P()
+    # NOTE the sweep-major merge reshards the (steps, chains) block across
+    # devices -- same contract (and cost) as the standalone scan path,
+    # whose burn-in trimming slices leading sweeps; the FUSED chain path
+    # is the zero-communication chain-major one (sampler.metropolis_chain
+    # chain_major docstring).
+    samples, final_states, n_acc = smap(first, init_states, offset_arr)
+    return (samples.reshape(n_steps * n_chains, dim), final_states,
+            int(n_acc[0]))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_call(mesh, log_prob, n_steps, local, dim, bound, K,
+                        interpret, ext):
+    """Cache the shard_map wrapper per static configuration: a fresh
+    closure per invocation would defeat jax's callable-identity dispatch
+    cache and re-trace the sharded Pallas program every sample() call
+    (same rationale as _build_call)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_blocks = n_steps // K
+    call = _build_call(log_prob, n_steps, local, dim, bound, K,
+                       interpret, ext)
 
     def body(first_l, init_l, off_l):
         if ext:
@@ -257,14 +277,12 @@ def metropolis_chain_pallas_sharded(
         s = s.reshape(n_steps, local, dim)
         return s, f, jax.lax.psum(acc, "dp")
 
-    smap = jax.shard_map(
-        body, mesh=ctx.mesh,
+    first_spec = P(None, None, "dp") if ext else P()
+    return jax.shard_map(
+        body, mesh=mesh,
         in_specs=(first_spec, P("dp", None), P(None, None)),
         out_specs=(P(None, "dp", None), P("dp", None), P()),
         check_vma=False)
-    samples, final_states, n_acc = smap(first, init_states, offset_arr)
-    return (samples.reshape(n_steps * n_chains, dim), final_states,
-            int(n_acc[0]))
 
 
 @functools.lru_cache(maxsize=64)

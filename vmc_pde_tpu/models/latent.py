@@ -133,10 +133,18 @@ def cos_bump_log_prob(latent_params, dim: int, x):
 DW_V2, DW_LAM, DW_T0 = -4.0, 1.0, 1.5
 
 
-def _dw_log_zx():
+def dw_x_quadrature():
+    """(xs, unnormalized pdf) of the latent's x-marginal on the dense
+    quadrature grid -- the single source for both the normalization below
+    and the oracle's inverse-CDF initializer (oracle/sde.py)."""
     xs = np.linspace(-8.0, 8.0, 400001)
     v = 0.5 * DW_V2 * xs**2 + DW_LAM * xs**4
-    return float(np.log(np.trapezoid(np.exp(-v / DW_T0), xs)))
+    return xs, np.exp(-v / DW_T0)
+
+
+def _dw_log_zx():
+    xs, pdf = dw_x_quadrature()
+    return float(np.log(np.trapezoid(pdf, xs)))
 
 
 _DW_LOG_Z = _dw_log_zx() + 0.5 * float(np.log(2.0 * np.pi * DW_T0))

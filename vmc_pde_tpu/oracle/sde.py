@@ -88,10 +88,9 @@ def double_well_init_cloud(key, n: int, dtype=jnp.float64):
     x by inverse-CDF on a dense quadrature grid (the marginal has no
     closed form), p ~ N(0, DW_T0). Independent of the model's Metropolis
     chains, so oracle-vs-model comparisons share no sampling machinery."""
-    from ..models.latent import DW_LAM, DW_T0, DW_V2
+    from ..models.latent import DW_T0, dw_x_quadrature
 
-    xs = np.linspace(-8.0, 8.0, 400001)
-    pdf = np.exp(-(0.5 * DW_V2 * xs**2 + DW_LAM * xs**4) / DW_T0)
+    xs, pdf = dw_x_quadrature()
     cdf = np.cumsum(pdf)
     cdf /= cdf[-1]
     k_u, k_p = jax.random.split(key)

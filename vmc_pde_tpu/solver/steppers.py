@@ -148,10 +148,13 @@ class AdaptiveHeun:
 
             scale = max(0.2, min(2.0, 0.9 * fe ** (1.0 / 3.0)))
             real_dt = dt
-            dt = min(dt * scale, self.maxStep)
-            if dt_cap is not None:
-                dt = min(dt, float(dt_cap))
+            dt_free = min(dt * scale, self.maxStep)
+            dt = dt_free if dt_cap is None else min(dt_free,
+                                                    float(dt_cap))
             attempt += 1
 
-        self.dt = dt
+        # persist the UNCAPPED suggestion: dt_cap clamps this step only
+        # (a final exact_t_end step must not leak a tiny dt into
+        # checkpoints / resumed runs -- same contract as FixedStepper)
+        self.dt = dt_free
         return StepResult(y0 + dy1, real_dt, info)
