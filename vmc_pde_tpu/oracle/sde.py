@@ -34,12 +34,14 @@ def drift_diffusion(coord, t, dt, key, D=1.0, **_):
 
 
 def drift_phase_space(coord, t, dt, key, m=1.0, omega=1.0, lam=0.0,
-                      gamma=1.0, T=10.0, v2=1.0, **_):
+                      gamma=1.0, T=10.0, v2=1.0, coupled=False, **_):
     """Hamiltonian advection + momentum noise + damping (exact_dyn.py:55-62).
-    ``v2`` < 0 with ``lam`` > 0: the double-well potential (config 3)."""
+    ``v2`` < 0 with ``lam`` > 0: the double-well potential (config 3);
+    ``coupled``: the interacting chain potential sum (x_i - x_{i-1})^2
+    (config 4)."""
     mask = jnp.zeros_like(coord).at[1::2].set(1.0)
     v_adv = velocity_field_hamiltonian(coord, t, m=m, omega=omega, lam=lam,
-                                       v2=v2)
+                                       v2=v2, coupled=coupled)
     v_diff = jnp.sqrt(2.0 * m * gamma * T / dt) * jax.random.normal(
         key, coord.shape, dtype=coord.dtype
     )
