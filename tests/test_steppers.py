@@ -101,3 +101,21 @@ def test_adaptive_heun_converges_and_adapts():
     assert abs(float(y[0]) - np.exp(-2.0 * t)) < 1e-4
     # initial dt=0.5 must have been rejected/shrunk at least once
     assert stepper.dt != 0.5
+
+
+def test_dt_cap_clamps_step_but_not_ramp_state():
+    """dt_cap (the driver's exact_t_end landing) clamps THIS step only:
+    both steppers persist the UNCAPPED dt suggestion, so a tiny final
+    clamped step cannot leak into checkpoints / resumed runs."""
+    f = make_linear_rhs()
+
+    st = FixedStepper(timeStep=1e-2, maxStep=1e-2, increase_fac=1.3,
+                      mode="Heun")
+    res = st.step(0.0, f, jnp.array([1.0]), key=None, dt_cap=1e-3)
+    assert res.dt_used == 1e-3          # the step itself is clamped
+    assert st.dt == 1e-2                # the ramp state is not
+
+    ad = AdaptiveHeun(timeStep=1e-2, tol=1e-3, maxStep=5e-2)
+    res = ad.step(0.0, f, jnp.array([1.0]), key=None, dt_cap=1e-3)
+    assert res.dt_used <= 1e-3 + 1e-15  # attempted dt capped
+    assert ad.dt > 1e-3                 # persisted suggestion is uncapped
