@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--dt0", type=float, default=None,
                     help="override the ramp start (set equal to --max-step "
                          "to disable the geometric ramp)")
+    ap.add_argument("--init-scale", type=float, default=None,
+                    help="flow output-layer init scale; 0 = EXACTLY the "
+                         "identity flow at t=0 (removes the ~6e-6 "
+                         "representation floor of the reference's 1e-5 "
+                         "random init; the remaining error is Heun's "
+                         "clean O(dt^2))")
     ap.add_argument("--gram-f64", action="store_true",
                     help="f64-grade statistics (gram_precision='f64' + "
                          "host eigh) -- removes the f32 per-step bias "
@@ -70,6 +76,8 @@ def main():
         over["max_step"] = args.max_step
     if args.dt0 is not None:
         over["dt0"] = args.dt0
+    if args.init_scale is not None:
+        over["init_scale"] = args.init_scale
     if args.gram_f64:
         over.update(gram_precision="f64", solve_on_device=False,
                     precision="tpu_f64stats" if args.tpu else "f64")
