@@ -26,3 +26,10 @@ timeout 3600 python bench.py 2>&1 | tee results/bench_full_r3b.txt
 timeout 1800 python scripts/northstar_l2.py --tpu \
     --aot-dir /root/repo/.aot_cache \
     2>&1 | tee -a results/northstar_l2.txt
+
+# 5. Double-well quench (BASELINE config 3) on the TPU f32 path: rw
+#    Metropolis chains + SVD TDVP on the quartic potential (late-r3
+#    workload; CPU f64 artifact in results/doublewell_quench.npz)
+timeout 1800 python scripts/evolve_doublewell.py --tpu --t-end 0.5 \
+    --out results/doublewell_quench_tpu.npz \
+    2>&1 | tee results/doublewell_tpu.txt
