@@ -119,3 +119,20 @@ def test_dt_cap_clamps_step_but_not_ramp_state():
     res = ad.step(0.0, f, jnp.array([1.0]), key=None, dt_cap=1e-3)
     assert res.dt_used <= 1e-3 + 1e-15  # attempted dt capped
     assert ad.dt > 1e-3                 # persisted suggestion is uncapped
+
+
+def test_fixed_rk3_third_order():
+    """SSPRK3 converges at third order on the linear ODE."""
+    errs = []
+    for dt in (0.1, 0.05):
+        stepper = FixedStepper(timeStep=dt, maxStep=dt, increase_fac=1.0,
+                               mode="RK3")
+        y = jnp.array([1.0])
+        t = 0.0
+        f = make_linear_rhs()
+        while t < 1.0 - 1e-12:
+            res = stepper.step(t, f, y, key=None)
+            y, t = res.y, t + res.dt_used
+        errs.append(abs(float(y[0]) - np.exp(-t)))
+    order = np.log2(errs[0] / errs[1])
+    assert 2.7 < order < 3.3, (errs, order)

@@ -926,3 +926,28 @@ def test_gram_f64_requires_x64(ctx1, monkeypatch):
     with pytest.raises(ValueError, match="x64"):
         make_problem(ctx1, dim=2, n=256,
                      cfg=TDVPConfig(gram_precision="f64"))
+
+
+def test_rk3_triple_fused_matches_plain(ctx1):
+    """The fused SSPRK3 triple (one dispatch) agrees with three per-call
+    rhs() stages through FixedStepper mode='RK3' (same RNG fold_in
+    sequence; fp-noise-level program differences only)."""
+    from vmc_pde_tpu.solver.steppers import FixedStepper
+
+    st, tdvp = make_problem(ctx1, dim=2, n=2048)
+    assert tdvp.fused_steps_available
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(78)
+
+    def f(y, t, k, intStep=0):
+        u, aux = tdvp.rhs(y, t, k, intStep=intStep)
+        return u, aux
+
+    s_plain = FixedStepper(timeStep=1e-4, maxStep=1e-3, mode="RK3")
+    s_fused = FixedStepper(timeStep=1e-4, maxStep=1e-3, mode="RK3",
+                           pair_fn=tdvp.rk3_triple)
+    r1 = s_plain.step(0.0, f, theta, key)
+    r2 = s_fused.step(0.0, f, theta, key)
+    assert r1.dt_used == r2.dt_used
+    np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
+                               rtol=1e-6, atol=1e-12)

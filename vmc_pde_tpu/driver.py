@@ -109,6 +109,10 @@ def build_problem(cfg: RunConfig):
     elif cfg.stepper == "fixed_euler":
         stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
                                increase_fac=cfg.increase_fac, mode="Euler")
+    elif cfg.stepper == "fixed_rk3":
+        stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
+                               increase_fac=cfg.increase_fac, mode="RK3",
+                               pair_fn=tdvp.rk3_triple if fused else None)
     else:
         stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
                                increase_fac=cfg.increase_fac, mode="Heun",
@@ -460,7 +464,7 @@ def main(argv=None):
                    help="<1: tail-tempered importance sampling of the TDVP "
                         "statistics (Student_t latent; TDVPConfig.is_gamma)")
     p.add_argument("--stepper", type=str, default=None,
-                   choices=["fixed_heun", "fixed_euler", "adaptive_heun"])
+                   choices=["fixed_heun", "fixed_euler", "fixed_rk3", "adaptive_heun"])
     p.add_argument("--exact-t-end", action="store_true",
                    help="clamp the final dt to land exactly on t_end "
                         "(the reference loop overshoots by up to one dt, "

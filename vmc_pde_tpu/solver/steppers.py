@@ -44,7 +44,7 @@ class FixedStepper:
         self.dt = float(timeStep)
         self.maxStep = float(maxStep)
         self.increase_fac = float(increase_fac)
-        if mode not in ("Heun", "Euler"):
+        if mode not in ("Heun", "Euler", "RK3"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
         self.pair_fn = pair_fn
@@ -75,6 +75,23 @@ class FixedStepper:
                 info = dict(info)
                 info["nan"] = info["nan"] | info1["nan"]
             return StepResult(y + 0.5 * dt * (k0 + k1), dt, info)
+        if self.mode == "RK3":
+            # SSPRK3 (Shu-Osher): third order, strong-stability-preserving.
+            # No reference counterpart (stepper.py tops out at Heun); same
+            # stage-0 observable convention (Q10).
+            if self.pair_fn is not None:  # TDVP.rk3_triple, fused dispatch
+                dy, info = self.pair_fn(y, t, dt, key)
+                return StepResult(y + dy, dt, info)
+            k0, info = f(y, t, key, intStep=0)
+            k1, i1 = f(y + dt * k0, t + dt, key, intStep=1)
+            k2, i2 = f(y + 0.25 * dt * (k0 + k1), t + 0.5 * dt, key,
+                       intStep=2)
+            if "nan" in info:
+                info = dict(info)
+                for i_s in (i1, i2):
+                    if "nan" in i_s:
+                        info["nan"] = info["nan"] | i_s["nan"]
+            return StepResult(y + dt / 6.0 * (k0 + k1 + 4.0 * k2), dt, info)
         k0, info = f(y, t, key, intStep=0)
         return StepResult(y + dt * k0, dt, info)
 

@@ -704,6 +704,8 @@ class TDVP:
                                       static_argnames=("n", "n_obs"))
         self._fused_multi = jax.jit(self._heun_multi_impl,
                                     static_argnames=("n", "n_obs"))
+        self._fused_rk3 = jax.jit(self._rk3_triple_impl,
+                                  static_argnames=("n", "n_obs"))
 
     # ------------------------------------------------------------------
     # Per-sample physics: logp, score, O-row, Hessian block, Eloc.
@@ -1533,6 +1535,35 @@ class TDVP:
             aux["_chain_state"] = cs
         return 0.5 * dt * (k0 + k1), aux
 
+    def _rk3_triple_impl(self, theta_c, t, dt, key, chain_state, rw_scale,
+                         n: int, n_obs: int):
+        """Fixed SSPRK3 (Shu-Osher) triple: three stages, one dispatch.
+
+        y1 = y + dt k0;  y2 = y + dt/4 (k0 + k1);  dy = dt/6 (k0 + k1 + 4 k2)
+        with k1 = f(y1, t + dt), k2 = f(y2, t + dt/2). Third-order and
+        strong-stability-preserving -- no reference counterpart (the
+        reference tops out at Heun, stepper.py). Same conventions as
+        _heun_pair_impl: stage-0 aux/observables (Q10 pairing), NaN OR-ed
+        across stages, chain state threaded stage to stage."""
+        k0, aux = self._stage(theta_c, t, key, 0, n, n_obs,
+                              chain_state=chain_state, rw_scale=rw_scale)
+        aux = dict(aux)
+        aux.pop("_x", None)
+        aux.pop("_logp", None)
+        cs = self._chain_handoff(aux)
+        k1, a1 = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs,
+                             with_obs=False, chain_state=cs,
+                             rw_scale=rw_scale)
+        cs = self._chain_handoff(a1, into=aux)
+        k2, a2 = self._stage(theta_c + 0.25 * dt * (k0 + k1), t + 0.5 * dt,
+                             key, 2, n, n_obs, with_obs=False,
+                             chain_state=cs, rw_scale=rw_scale)
+        aux["nan"] = aux["nan"] | a1["nan"] | a2["nan"]
+        cs = self._chain_handoff(a2, into=aux)
+        if cs is not None:
+            aux["_chain_state"] = cs
+        return dt / 6.0 * (k0 + k1 + 4.0 * k2), aux
+
     def _heun_attempt_impl(self, theta_c, t, dt, key, off, chain_state,
                            rw_scale, n: int, n_obs: int):
         """One embedded-adaptive-Heun attempt (stepper.py:6-91): full step
@@ -1736,6 +1767,11 @@ class TDVP:
             self._aot["pair"] = aot.load_or_compile(
                 self._fused_pair, args, kw, cache_dir, "heun_pair",
                 devices=devs, verbose=verbose)
+        elif kind == "rk3":
+            args = (theta_c, float(t), float(dt), key, cs, rw)
+            self._aot["rk3"] = aot.load_or_compile(
+                self._fused_rk3, args, kw, cache_dir, "rk3_triple",
+                devices=devs, verbose=verbose)
         elif kind == "attempt":
             args = (theta_c, float(t), float(dt), key, 0, cs, rw)
             self._aot["attempt"] = aot.load_or_compile(
@@ -1765,6 +1801,24 @@ class TDVP:
                 fn = None
         if fn is None:
             dy, aux = self._fused_pair(
+                theta_c, t, dt, key, cs, rw,
+                n=self.n_samples, n_obs=self.n_samples_obs)
+        aux = self._absorb_mcmc(aux)
+        return self._finish_fused(dy, aux)
+
+    def rk3_triple(self, theta, t, dt, key):
+        """(dy, aux) for a whole fixed-SSPRK3 step in one dispatch (same
+        pair_fn contract as heun_pair; steppers.FixedStepper mode='RK3')."""
+        theta_c = jnp.asarray(theta, dtype=self.precision.compute)
+        cs, rw = self._fused_mcmc_inputs(key)
+        fn = self._aot.get("rk3")
+        if fn is not None:
+            try:
+                dy, aux = fn(theta_c, float(t), float(dt), key, cs, rw)
+            except (TypeError, ValueError):
+                fn = None
+        if fn is None:
+            dy, aux = self._fused_rk3(
                 theta_c, t, dt, key, cs, rw,
                 n=self.n_samples, n_obs=self.n_samples_obs)
         aux = self._absorb_mcmc(aux)
