@@ -87,3 +87,22 @@ def test_multistep_euler_falls_back_to_per_step():
     np.testing.assert_array_equal(a1["times"], a2["times"])
     np.testing.assert_array_equal(np.asarray(s1.get_parameters()),
                                   np.asarray(s2.get_parameters()))
+
+
+@pytest.mark.slow
+def test_multistep_rk3_matches_per_step():
+    """steps_per_dispatch with stepper='fixed_rk3': the scan body runs the
+    SSPRK3 triple; trajectory and recorded infos match the per-step path
+    (same RNG stream; float-codegen-noise tolerance, see
+    test_oracle_and_e2e.py exact_t_end batched test)."""
+    s1, r1 = run(_cfg(stepper="fixed_rk3", steps_per_dispatch=1))
+    s4, r4 = run(_cfg(stepper="fixed_rk3", steps_per_dispatch=4))
+    a1, a4 = r1.as_arrays(), r4.as_arrays()
+    np.testing.assert_array_equal(a1["times"], a4["times"])
+    np.testing.assert_allclose(a1["entropy"], a4["entropy"], rtol=1e-10)
+    # the regularized solve amplifies last-bit reduction-reordering noise
+    # between the scan-body and standalone programs across ~10 steps
+    # (same tolerance class as the fused-MCMC multistep contract)
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s4.get_parameters()),
+                               rtol=1e-3, atol=1e-7)

@@ -91,7 +91,7 @@ class RunConfig:
     # Heun's O(dt^2) (measured: L2 = ||dp/dt|| * dt on the mwe workload).
     # Default False = reference-compatible trajectories.
     exact_t_end: bool = False
-    # >1 batches that many fixed-Heun steps into ONE device dispatch
+    # >1 batches that many fixed-Heun/RK3 steps into ONE device dispatch
     # (lax.scan in TDVP.heun_multi), amortizing host dispatch latency;
     # RNG/physics/recorded infos identical to per-step integration (MCMC
     # workloads included: the chain state threads through the scan carry).

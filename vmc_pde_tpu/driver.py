@@ -207,11 +207,14 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
             if isinstance(stepper, AdaptiveHeun):
                 tdvp.warm_aot(cfg.aot_dir, kind="attempt", dt=stepper.dt,
                               verbose=cfg.verbose)
-            elif stepper.mode == "Heun" and stepper.pair_fn is not None:
-                tdvp.warm_aot(cfg.aot_dir, kind="pair", dt=stepper.dt,
-                              verbose=cfg.verbose)
+            elif (stepper.mode in ("Heun", "RK3")
+                  and stepper.pair_fn is not None):
+                rk3 = stepper.mode == "RK3"
+                tdvp.warm_aot(cfg.aot_dir, kind="rk3" if rk3 else "pair",
+                              dt=stepper.dt, verbose=cfg.verbose)
                 if cfg.steps_per_dispatch > 1:
-                    tdvp.warm_aot(cfg.aot_dir, kind="multi",
+                    tdvp.warm_aot(cfg.aot_dir,
+                                  kind="multi_rk3" if rk3 else "multi",
                                   K=cfg.steps_per_dispatch, dt=stepper.dt,
                                   verbose=cfg.verbose)
 
@@ -247,7 +250,7 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
     multi_ok = (
         cfg.steps_per_dispatch > 1
         and isinstance(stepper, FixedStepper)
-        and stepper.mode == "Heun"
+        and stepper.mode in ("Heun", "RK3")
         and stepper.pair_fn is not None
         and not cfg.verbose
         and not callbacks
@@ -298,8 +301,9 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                     key, sk = jax.random.split(key)
                     step_keys.append(sk)
                 with timings.section("step"):
-                    theta, auxs = tdvp.heun_multi(theta, ts_l, dts_l,
-                                                  jnp.stack(step_keys))
+                    theta, auxs = tdvp.heun_multi(
+                        theta, ts_l, dts_l, jnp.stack(step_keys),
+                        kind="rk3" if stepper.mode == "RK3" else "heun")
                 # state sync deferred to loop exit: set_parameters unravels
                 # the flat vector into ~dozens of leaf slices, each a device
                 # op -- per-batch that re-creates the dispatch overhead this

@@ -703,7 +703,7 @@ class TDVP:
         self._fused_attempt = jax.jit(self._heun_attempt_impl,
                                       static_argnames=("n", "n_obs"))
         self._fused_multi = jax.jit(self._heun_multi_impl,
-                                    static_argnames=("n", "n_obs"))
+                                    static_argnames=("n", "n_obs", "kind"))
         self._fused_rk3 = jax.jit(self._rk3_triple_impl,
                                   static_argnames=("n", "n_obs"))
 
@@ -1629,9 +1629,11 @@ class TDVP:
         return dy1, err, aux0
 
     def _heun_multi_impl(self, theta_m, ts, dts, keys, chain_state, rw_scale,
-                         n: int, n_obs: int):
-        """K fixed-Heun steps in ONE dispatch: a lax.scan over (t, dt, key)
-        triples carrying the master-precision parameter vector.
+                         n: int, n_obs: int, kind: str = "heun"):
+        """K fixed steps in ONE dispatch: a lax.scan over (t, dt, key)
+        triples carrying the master-precision parameter vector. ``kind``
+        selects the per-step program: "heun" (the reference's fixed
+        stepper) or "rk3" (the SSPRK3 triple).
 
         The host loop dispatches one program per K steps instead of one per
         step, amortizing dispatch latency (this image's remote TPU tunnel:
@@ -1643,12 +1645,14 @@ class TDVP:
         aux comes back stacked along a leading K axis; ``dist_params`` is
         added post-step (the driver records it after set_parameters)."""
         compute = self.precision.compute
+        step_impl = (self._rk3_triple_impl if kind == "rk3"
+                     else self._heun_pair_impl)
 
         def body(carry, inp):
             theta, cs = carry
             t, dt, k = inp
-            dy, aux = self._heun_pair_impl(theta.astype(compute), t, dt, k,
-                                           cs, rw_scale, n, n_obs)
+            dy, aux = step_impl(theta.astype(compute), t, dt, k,
+                                cs, rw_scale, n, n_obs)
             cs = aux.pop("_chain_state", cs)
             theta = theta + jnp.asarray(dy, dtype=theta.dtype)
             aux = dict(aux)
@@ -1687,9 +1691,10 @@ class TDVP:
             self.sampler.note_fused_acceptance(cs, acc, prop)
         return aux
 
-    def heun_multi(self, theta, ts, dts, keys):
-        """Run ``len(ts)`` fixed-Heun steps in one dispatch (requires
-        ``fused_steps_available``). ``keys``: (K,) stacked per-step keys --
+    def heun_multi(self, theta, ts, dts, keys, kind: str = "heun"):
+        """Run ``len(ts)`` fixed steps in one dispatch (requires
+        ``fused_steps_available``). ``kind``: "heun" | "rk3" (the per-step
+        program inside the scan). ``keys``: (K,) stacked per-step keys --
         the same split sequence the per-step loop draws. Returns
         (theta_final master-precision, stacked aux)."""
         theta_m = jnp.asarray(theta, dtype=self.precision.master)
@@ -1699,7 +1704,7 @@ class TDVP:
         ts = jnp.asarray(ts, dtype=self.precision.compute)
         dts = jnp.asarray(dts, dtype=self.precision.compute)
         cs, rw = self._fused_mcmc_inputs(keys[0])
-        fn = self._aot.get(("multi", int(ts.shape[0])))
+        fn = self._aot.get(("multi", kind, int(ts.shape[0])))
         if fn is not None:
             try:
                 theta_f, cs_f, auxs = fn(theta_m, ts, dts, keys, cs, rw)
@@ -1708,7 +1713,7 @@ class TDVP:
         if fn is None:
             theta_f, cs_f, auxs = self._fused_multi(
                 theta_m, ts, dts, keys, cs, rw,
-                n=self.n_samples, n_obs=self.n_samples_obs,
+                n=self.n_samples, n_obs=self.n_samples_obs, kind=kind,
             )
         auxs = self._absorb_mcmc(auxs, chain_state=cs_f)
         # deliberately NOT updating the per-call diagnostic attributes
@@ -1777,15 +1782,17 @@ class TDVP:
             self._aot["attempt"] = aot.load_or_compile(
                 self._fused_attempt, args, kw, cache_dir, "heun_attempt",
                 devices=devs, verbose=verbose)
-        elif kind == "multi":
+        elif kind in ("multi", "multi_rk3"):
+            step_kind = "rk3" if kind == "multi_rk3" else "heun"
             theta_m = jnp.zeros((self.n_params,), self.precision.master)
             ts = jnp.zeros((K,), self.precision.compute)
             dts = jnp.full((K,), float(dt), self.precision.compute)
             keys = jnp.stack([jax.random.fold_in(key, i) for i in range(K)])
             args = (theta_m, ts, dts, keys, cs, rw)
-            self._aot["multi", K] = aot.load_or_compile(
-                self._fused_multi, args, kw, cache_dir,
-                f"heun_multi_k{K}", devices=devs, verbose=verbose)
+            self._aot["multi", step_kind, K] = aot.load_or_compile(
+                self._fused_multi, args, dict(kw, kind=step_kind),
+                cache_dir, f"{step_kind}_multi_k{K}",
+                devices=devs, verbose=verbose)
         else:
             raise ValueError(f"unknown warm_aot kind {kind!r}")
 
