@@ -627,3 +627,29 @@ def test_e2e_rk3_third_order_density_error():
     order = np.log2(errs[0] / errs[1])
     assert 2.6 < order < 3.4, (errs, order)
     assert errs[0] < 5e-8, errs  # 16x-coarser dt than the Heun run needs
+
+
+@pytest.mark.slow
+def test_e2e_adaptive_rk23_mwe():
+    """adaptive_rk23 on the full pipeline: tracks the closed form AND, at
+    the same tolerance, integrates with no more steps than adaptive_heun
+    (third-order accepted solution => larger accepted dt)."""
+    import dataclasses
+
+    base = preset(
+        "mwe", stepper="adaptive_rk23", n_samples_tdvp=2048,
+        n_samples_obs=2048, dt0=1e-4, tol=1e-3, max_step=2e-2,
+        t_end=0.06, precision="f64", verbose=False, grid_points=40,
+    )
+    state, rec = run(base)
+    infos = rec.as_arrays()
+    t_final = float(infos["times"][-1])
+    np.testing.assert_allclose(
+        np.diag(infos["covar"][-1]), (1 + 2 * t_final) * np.ones(2),
+        rtol=0.08)
+    assert np.isfinite(infos["entropy"]).all()
+
+    _, rec_h = run(dataclasses.replace(base, stepper="adaptive_heun"))
+    n_rk23 = len(infos["times"])
+    n_heun = len(rec_h.as_arrays()["times"])
+    assert n_rk23 <= n_heun, (n_rk23, n_heun)

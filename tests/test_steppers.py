@@ -136,3 +136,32 @@ def test_fixed_rk3_third_order():
         errs.append(abs(float(y[0]) - np.exp(-t)))
     order = np.log2(errs[0] / errs[1])
     assert 2.7 < order < 3.3, (errs, order)
+
+
+def test_adaptive_rk23_third_order_and_cheaper():
+    """Bogacki-Shampine 3(2): the accepted solution integrates the linear
+    ODE more accurately than AdaptiveHeun AT THE SAME tolerance while
+    using fewer RHS evaluations (4 per attempt vs 5, larger accepted
+    steps)."""
+    from vmc_pde_tpu.solver.steppers import AdaptiveRK23
+
+    def run_one(cls):
+        calls = [0]
+
+        def f(y, t, key, intStep=0):
+            calls[0] += 1
+            return -y, {"solver_res": 0.0}
+
+        f.SExp = jnp.eye(1)
+        st = cls(timeStep=1e-3, tol=1e-10, maxStep=0.5)
+        y, t = jnp.array([1.0]), 0.0
+        while t < 1.0 - 1e-12:
+            res = st.step(t, f, y, key=None,
+                          normFunction=lambda v, S: float(abs(v[0])))
+            y, t = res.y, t + res.dt_used
+        return abs(float(y[0]) - np.exp(-t)), calls[0]
+
+    err_h, calls_h = run_one(AdaptiveHeun)
+    err_r, calls_r = run_one(AdaptiveRK23)
+    assert err_r < 5e-7 and err_h < 5e-7, (err_r, err_h)
+    assert calls_r < calls_h, (calls_r, calls_h)

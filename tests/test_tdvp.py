@@ -951,3 +951,30 @@ def test_rk3_triple_fused_matches_plain(ctx1):
     assert r1.dt_used == r2.dt_used
     np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
                                rtol=1e-6, atol=1e-12)
+
+
+def test_rk23_attempt_fused_matches_plain(ctx1):
+    """The fused Bogacki-Shampine attempt (one dispatch, in-jit S-metric
+    error) agrees with four per-call rhs() stages through AdaptiveRK23."""
+    from vmc_pde_tpu.driver import s_metric_norm
+    from vmc_pde_tpu.solver.steppers import AdaptiveRK23
+
+    cfg = TDVPConfig(compute_sexp=True)
+    st, tdvp = make_problem(ctx1, dim=2, n=2048, cfg=cfg)
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(79)
+
+    def f(y, t, k, intStep=0):
+        u, aux = tdvp.rhs(y, t, k, intStep=intStep)
+        f.SExp = tdvp.SExp
+        return u, aux
+
+    a_plain = AdaptiveRK23(timeStep=1e-4, tol=1e-5, maxStep=1e-3)
+    a_fused = AdaptiveRK23(timeStep=1e-4, tol=1e-5, maxStep=1e-3,
+                           attempt_fn=tdvp.rk23_attempt)
+    r1 = a_plain.step(0.0, f, theta, key, normFunction=s_metric_norm)
+    r2 = a_fused.step(0.0, f, theta, key, normFunction=s_metric_norm)
+    assert r1.dt_used == r2.dt_used
+    np.testing.assert_allclose(a_fused.dt, a_plain.dt, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
+                               rtol=1e-6, atol=1e-12)

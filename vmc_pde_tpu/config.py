@@ -78,7 +78,7 @@ class RunConfig:
     integrals: bool = False
 
     # time integration (main.py:108-113)
-    stepper: str = "fixed_heun"     # fixed_heun | fixed_euler | fixed_rk3 | adaptive_heun
+    stepper: str = "fixed_heun"     # fixed_heun | fixed_euler | fixed_rk3 | adaptive_heun | adaptive_rk23
     dt0: float = 1e-7
     max_step: float = 1e-2
     increase_fac: float = 1.3

@@ -23,7 +23,7 @@ from .models.state import VarState
 from .ops.evolution import make_equation
 from .parallel.mesh import ParallelCtx, is_coordinator
 from .sampling.sampler import Sampler
-from .solver.steppers import AdaptiveHeun, FixedStepper
+from .solver.steppers import AdaptiveHeun, AdaptiveRK23, FixedStepper
 from .solver.tdvp import TDVP, TDVPConfig
 from .utils import dtypes
 from .utils.grid import Grid
@@ -87,7 +87,7 @@ def build_problem(cfg: RunConfig):
         # adaptive stepping needs an S-metric: dense (P, P) SExp for the
         # eigh solver (reference parity), matrix-free v^T SExp v for the
         # large-P strategies (cholesky/cg/minsr) -- see TDVPConfig.sexp_mode
-        sexp_mode=("auto" if cfg.stepper == "adaptive_heun" else "none"),
+        sexp_mode=("auto" if cfg.stepper.startswith("adaptive") else "none"),
         solve_on_device=cfg.solve_on_device,
         chunk_size=cfg.chunk_size,
         integrals=cfg.integrals,
@@ -106,6 +106,10 @@ def build_problem(cfg: RunConfig):
         stepper = AdaptiveHeun(timeStep=cfg.dt0, tol=cfg.tol,
                                maxStep=cfg.max_step,
                                attempt_fn=tdvp.heun_attempt if fused else None)
+    elif cfg.stepper == "adaptive_rk23":
+        stepper = AdaptiveRK23(timeStep=cfg.dt0, tol=cfg.tol,
+                               maxStep=cfg.max_step,
+                               attempt_fn=tdvp.rk23_attempt if fused else None)
     elif cfg.stepper == "fixed_euler":
         stepper = FixedStepper(timeStep=cfg.dt0, maxStep=cfg.max_step,
                                increase_fac=cfg.increase_fac, mode="Euler")
@@ -204,7 +208,10 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         # load-or-compile the stepper executables this run will use from
         # the AOT cache -- fresh processes skip XLA compilation entirely
         with timings.section("aot_warm"):
-            if isinstance(stepper, AdaptiveHeun):
+            if isinstance(stepper, AdaptiveRK23):
+                tdvp.warm_aot(cfg.aot_dir, kind="rk23", dt=stepper.dt,
+                              verbose=cfg.verbose)
+            elif isinstance(stepper, AdaptiveHeun):
                 tdvp.warm_aot(cfg.aot_dir, kind="attempt", dt=stepper.dt,
                               verbose=cfg.verbose)
             elif (stepper.mode in ("Heun", "RK3")
@@ -468,7 +475,7 @@ def main(argv=None):
                    help="<1: tail-tempered importance sampling of the TDVP "
                         "statistics (Student_t latent; TDVPConfig.is_gamma)")
     p.add_argument("--stepper", type=str, default=None,
-                   choices=["fixed_heun", "fixed_euler", "fixed_rk3", "adaptive_heun"])
+                   choices=["fixed_heun", "fixed_euler", "fixed_rk3", "adaptive_heun", "adaptive_rk23"])
     p.add_argument("--exact-t-end", action="store_true",
                    help="clamp the final dt to land exactly on t_end "
                         "(the reference loop overshoots by up to one dt, "

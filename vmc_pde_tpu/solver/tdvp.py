@@ -706,6 +706,8 @@ class TDVP:
                                     static_argnames=("n", "n_obs", "kind"))
         self._fused_rk3 = jax.jit(self._rk3_triple_impl,
                                   static_argnames=("n", "n_obs"))
+        self._fused_rk23 = jax.jit(self._rk23_attempt_impl,
+                                   static_argnames=("n", "n_obs"))
 
     # ------------------------------------------------------------------
     # Per-sample physics: logp, score, O-row, Hessian block, Eloc.
@@ -1628,6 +1630,55 @@ class TDVP:
             err = jnp.linalg.norm(diff)
         return dy1, err, aux0
 
+    def _rk23_attempt_impl(self, theta_c, t, dt, key, off, chain_state,
+                           rw_scale, n: int, n_obs: int):
+        """One embedded Bogacki-Shampine 3(2) attempt (steppers.AdaptiveRK23;
+        no reference counterpart): 4 stages, third-order accepted solution,
+        second-order embedded error. Same conventions as
+        _heun_attempt_impl: stage-0 aux (Q10), per-stage RNG off + i, NaN
+        OR-fold, S-metric error from the LAST stage (dense SExp or
+        matrix-free at its parameter point). Returns (dy3, err, aux)."""
+        k0, aux0 = self._stage(theta_c, t, key, off + 0, n, n_obs,
+                               chain_state=chain_state, rw_scale=rw_scale)
+        aux0 = dict(aux0)
+        cs = self._chain_handoff(aux0)
+        k1, a1 = self._stage(theta_c + 0.5 * dt * k0, t + 0.5 * dt, key,
+                             off + 1, n, n_obs, with_obs=False,
+                             chain_state=cs, rw_scale=rw_scale)
+        cs = self._chain_handoff(a1, into=aux0)
+        k2, a2 = self._stage(theta_c + 0.75 * dt * k1, t + 0.75 * dt, key,
+                             off + 2, n, n_obs, with_obs=False,
+                             chain_state=cs, rw_scale=rw_scale)
+        cs = self._chain_handoff(a2, into=aux0)
+        dy3 = dt * (2.0 / 9.0 * k0 + 1.0 / 3.0 * k1 + 4.0 / 9.0 * k2)
+        y3 = theta_c + dy3
+        k3, aux_last = self._stage(y3, t + dt, key, off + 3, n, n_obs,
+                                   with_obs=False, chain_state=cs,
+                                   rw_scale=rw_scale)
+        cs = self._chain_handoff(aux_last, into=aux0)
+        if cs is not None:
+            aux0["_chain_state"] = cs
+        dy2 = dt * (7.0 / 24.0 * k0 + 0.25 * k1 + 1.0 / 3.0 * k2
+                    + 0.125 * k3)
+
+        aux0["nan"] = (aux0["nan"] | a1["nan"] | a2["nan"]
+                       | aux_last["nan"])
+        aux0.pop("_x", None)
+        aux0.pop("_logp", None)
+        diff = dy3 - dy2
+        sexp = aux_last.get("SExp")
+        if sexp is not None:
+            sdt = self.precision.solve
+            d = diff.astype(sdt)
+            err = d @ jnp.matmul(sexp.astype(sdt), d,
+                                 precision=jax.lax.Precision.HIGHEST)
+        elif self._sexp_matfree:
+            err = self._sexp_quad(y3, aux_last["_x"], aux_last["_logp"],
+                                  diff)
+        else:
+            err = jnp.linalg.norm(diff)
+        return dy3, err, aux0
+
     def _heun_multi_impl(self, theta_m, ts, dts, keys, chain_state, rw_scale,
                          n: int, n_obs: int, kind: str = "heun"):
         """K fixed steps in ONE dispatch: a lax.scan over (t, dt, key)
@@ -1782,6 +1833,11 @@ class TDVP:
             self._aot["attempt"] = aot.load_or_compile(
                 self._fused_attempt, args, kw, cache_dir, "heun_attempt",
                 devices=devs, verbose=verbose)
+        elif kind == "rk23":
+            args = (theta_c, float(t), float(dt), key, 0, cs, rw)
+            self._aot["rk23"] = aot.load_or_compile(
+                self._fused_rk23, args, kw, cache_dir, "rk23_attempt",
+                devices=devs, verbose=verbose)
         elif kind in ("multi", "multi_rk3"):
             step_kind = "rk3" if kind == "multi_rk3" else "heun"
             theta_m = jnp.zeros((self.n_params,), self.precision.master)
@@ -1852,6 +1908,27 @@ class TDVP:
         aux = self._absorb_mcmc(aux)
         dy1, aux = self._finish_fused(dy1, aux)
         return dy1, err, aux
+
+    def rk23_attempt(self, theta, t, dt, key, attempt: int = 0):
+        """(dy3, err, aux) for a whole Bogacki-Shampine 3(2) attempt in one
+        dispatch (steppers.AdaptiveRK23 attempt_fn contract)."""
+        theta_c = jnp.asarray(theta, dtype=self.precision.compute)
+        cs, rw = self._fused_mcmc_inputs(key)
+        fn = self._aot.get("rk23")
+        if fn is not None:
+            try:
+                dy3, err, aux = fn(theta_c, float(t), float(dt), key,
+                                   5 * attempt, cs, rw)
+            except (TypeError, ValueError):
+                fn = None
+        if fn is None:
+            dy3, err, aux = self._fused_rk23(
+                theta_c, t, dt, key, 5 * attempt, cs, rw,
+                n=self.n_samples, n_obs=self.n_samples_obs,
+            )
+        aux = self._absorb_mcmc(aux)
+        dy3, aux = self._finish_fused(dy3, aux)
+        return dy3, err, aux
 
     def _host_solve(self, aux):
         """Host f64 solve (the reference's default path, tdvp.py:60-64)."""
