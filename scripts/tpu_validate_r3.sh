@@ -33,3 +33,12 @@ timeout 1800 python scripts/northstar_l2.py --tpu \
 timeout 1800 python scripts/evolve_doublewell.py --tpu --t-end 0.5 \
     --out results/doublewell_quench_tpu.npz \
     2>&1 | tee results/doublewell_tpu.txt
+
+# 6. New steppers on the TPU f32 path (fused RK3 triple + fused RK23
+#    attempt compile and run; correctness is CPU-CI-covered)
+timeout 1200 python -m vmc_pde_tpu.driver mwe --samples 4096 --t-end 0.05 \
+    --precision tpu --stepper fixed_rk3 --exact-t-end --max-steps 10 \
+    --aot-dir /root/repo/.aot_cache 2>&1 | tail -20 | tee results/rk3_tpu.txt
+timeout 1200 python -m vmc_pde_tpu.driver mwe --samples 4096 --t-end 0.05 \
+    --precision tpu --stepper adaptive_rk23 --max-steps 10 \
+    --aot-dir /root/repo/.aot_cache 2>&1 | tail -20 | tee results/rk23_tpu.txt
