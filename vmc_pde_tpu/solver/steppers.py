@@ -6,6 +6,12 @@ full step vs two half steps, error measured in the S-metric, dt-scale clamp
 ``FixedStepper`` (Heun or Euler with geometric dt ramp
 dt <- min(dt * increase_fac, maxStep) -- stepper.py:94-145).
 
+Beyond the reference (which tops out at second order): ``FixedStepper``
+mode="RK3" (Shu-Osher SSPRK3, fused triple via TDVP.rk3_triple) and
+``AdaptiveRK23`` (embedded Bogacki-Shampine 3(2), 4 RHS evals per attempt
+vs AdaptiveHeun's 5) -- measured ~5x fewer RHS evaluations at equal L2 on
+the north-star harness (BENCHMARKS.md "Third-order stepper").
+
 The right-hand side ``f`` is the TDVP.rhs callable: f(theta, t, key, intStep)
 -> (dtheta, aux). Integration arithmetic happens on the master-precision flat
 parameter vector (f64): the reference gets this for free from global x64
