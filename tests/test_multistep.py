@@ -89,6 +89,96 @@ def test_multistep_euler_falls_back_to_per_step():
                                   np.asarray(s2.get_parameters()))
 
 
+def _acfg(**kw):
+    base = dict(stepper="adaptive_heun", tol=1e-7, dt0=1e-3,
+                max_step=5e-3, t_end=0.04)
+    base.update(kw)
+    return _cfg(**base)
+
+
+@pytest.mark.slow
+def test_adaptive_multistep_matches_per_step():
+    """steps_per_dispatch with an adaptive stepper: the attempt retry loop
+    and dt controller run ON DEVICE (TDVP.adaptive_multi, lax.while_loop
+    inside a masked lax.scan). Same RNG stream and f64 controller
+    arithmetic as the host loop -> identical step sequence."""
+    s1, r1 = run(_acfg(steps_per_dispatch=1))
+    s4, r4 = run(_acfg(steps_per_dispatch=4))
+    a1, a4 = r1.as_arrays(), r4.as_arrays()
+
+    # identical accept/reject sequence -> same step count; times agree to
+    # f64 controller arithmetic (host Python floats vs on-device f64 pow/
+    # min -- same ops, ulp-level agreement)
+    assert a1["times"].shape == a4["times"].shape
+    np.testing.assert_allclose(a1["times"], a4["times"], rtol=1e-12)
+    assert set(a1) == set(a4)
+    for k in ("entropy", "solver_res", "tdvp_error", "covar", "x1"):
+        np.testing.assert_allclose(a1[k], a4[k], rtol=1e-5, atol=1e-8,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s4.get_parameters()),
+                               rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_adaptive_multistep_rk23_matches_per_step():
+    s1, r1 = run(_acfg(stepper="adaptive_rk23", steps_per_dispatch=1))
+    s3, r3 = run(_acfg(stepper="adaptive_rk23", steps_per_dispatch=3))
+    a1, a3 = r1.as_arrays(), r3.as_arrays()
+    assert a1["times"].shape == a3["times"].shape
+    np.testing.assert_allclose(a1["times"], a3["times"], rtol=1e-12)
+    np.testing.assert_allclose(a1["entropy"], a3["entropy"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s3.get_parameters()),
+                               rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_adaptive_multistep_exact_t_end():
+    """exact_t_end with batched adaptive steps: the ON-DEVICE dt cap clamps
+    each attempt at t_end - t; the final batch lands exactly on t_end with
+    its tail slots masked out (n_done < K)."""
+    s1, r1 = run(_acfg(steps_per_dispatch=1, exact_t_end=True))
+    s4, r4 = run(_acfg(steps_per_dispatch=4, exact_t_end=True))
+    a1, a4 = r1.as_arrays(), r4.as_arrays()
+    assert a1["times"].shape == a4["times"].shape
+    np.testing.assert_allclose(a1["times"], a4["times"], rtol=1e-12)
+    # landed exactly: the last step starts before t_end and there is no
+    # overshoot row (per-step exact_t_end contract, quirk Q11 fixed)
+    assert a4["times"][-1] < 0.04
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s4.get_parameters()),
+                               rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_adaptive_multistep_mcmc_matches_per_step():
+    """Fused-MCMC workload (fluidpaper preset) under batched adaptive
+    stepping: the Metropolis chain state threads through attempts and
+    steps inside ONE program; trajectory matches the per-step fused
+    attempt path (same chain stream; fused-MCMC multistep tolerance
+    class)."""
+    from vmc_pde_tpu.config import preset
+
+    def _mcfg(k):
+        return preset("fluidpaper", n_samples_tdvp=640, n_samples_obs=640,
+                      n_chains=64, dt0=1e-3, max_step=2e-3, tol=1e-6,
+                      stepper="adaptive_heun", t_end=6e-3,
+                      precision="f64", verbose=False,
+                      steps_per_dispatch=k)
+
+    s1, r1 = run(_mcfg(1))
+    s3, r3 = run(_mcfg(3))
+    a1, a3 = r1.as_arrays(), r3.as_arrays()
+    assert a1["times"].shape == a3["times"].shape
+    np.testing.assert_allclose(a1["times"], a3["times"], rtol=1e-9)
+    np.testing.assert_allclose(a1["entropy"], a3["entropy"], rtol=1e-5)
+    assert (a3["mcmc_proposed"] > 0).all()
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s3.get_parameters()),
+                               rtol=2e-3, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_multistep_rk3_matches_per_step():
     """steps_per_dispatch with stepper='fixed_rk3': the scan body runs the

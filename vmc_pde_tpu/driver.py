@@ -208,12 +208,19 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         # load-or-compile the stepper executables this run will use from
         # the AOT cache -- fresh processes skip XLA compilation entirely
         with timings.section("aot_warm"):
-            if isinstance(stepper, AdaptiveRK23):
-                tdvp.warm_aot(cfg.aot_dir, kind="rk23", dt=stepper.dt,
-                              verbose=cfg.verbose)
-            elif isinstance(stepper, AdaptiveHeun):
-                tdvp.warm_aot(cfg.aot_dir, kind="attempt", dt=stepper.dt,
-                              verbose=cfg.verbose)
+            if isinstance(stepper, AdaptiveHeun):  # covers AdaptiveRK23
+                rk23 = isinstance(stepper, AdaptiveRK23)
+                tdvp.warm_aot(cfg.aot_dir,
+                              kind="rk23" if rk23 else "attempt",
+                              dt=stepper.dt, verbose=cfg.verbose)
+                if cfg.steps_per_dispatch > 1:
+                    tdvp.warm_aot(
+                        cfg.aot_dir,
+                        kind="amulti_rk23" if rk23 else "amulti",
+                        K=cfg.steps_per_dispatch, dt=stepper.dt,
+                        t_end=cfg.t_end, tol=stepper.tolerance,
+                        max_step=stepper.maxStep, exact=cfg.exact_t_end,
+                        verbose=cfg.verbose)
             elif (stepper.mode in ("Heun", "RK3")
                   and stepper.pair_fn is not None):
                 rk3 = stepper.mode == "RK3"
@@ -264,6 +271,24 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
         and grid is None
         and not cfg.profile_dir
     )
+
+    # Adaptive multi-step dispatch (TDVP.adaptive_multi): batch
+    # steps_per_dispatch adaptive steps into one program with the attempt
+    # retry loop (lax.while_loop) and the dt controller ON DEVICE. Unlike
+    # the fixed path the step count to t_end is data-dependent, so the
+    # program masks slots past t_end and reports n_done; the driver
+    # records only the active rows. Same per-step host-action fallbacks
+    # as the fixed path.
+    adapt_multi_ok = (
+        cfg.steps_per_dispatch > 1
+        and isinstance(stepper, AdaptiveHeun)  # covers AdaptiveRK23
+        and stepper.attempt_fn is not None
+        and not cfg.verbose
+        and not callbacks
+        and grid is None
+        and not cfg.profile_dir
+    )
+    adapt_kind = "rk23" if isinstance(stepper, AdaptiveRK23) else "heun"
 
     # exact_t_end: stop at t_end (clamping the final dt) instead of the
     # reference's `while t < t_end + dt` overshoot (main.py:159, quirk Q11)
@@ -334,6 +359,51 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                     check_nan()
                 n_step += K
                 steps_done += K
+                continue
+        if adapt_multi_ok:
+            K = cfg.steps_per_dispatch
+            if steps_done + K > max_steps or (
+                    cfg.checkpoint_every and wdir and any(
+                        (n_step + i) % cfg.checkpoint_every == 0
+                        for i in range(K))):
+                K = 1  # per-step fallback at budget/checkpoint boundaries
+            if K > 1:
+                step_keys = []
+                for _ in range(K):
+                    key, sk = jax.random.split(key)
+                    step_keys.append(sk)
+                with timings.section("step"):
+                    theta, t_f, dt_sugg_f, dt_prev_f, outs = \
+                        tdvp.adaptive_multi(
+                            theta, t, stepper.dt, dt,
+                            jnp.stack(step_keys), cfg.t_end, t_eps,
+                            stepper.tolerance, stepper.maxStep,
+                            kind=adapt_kind, exact=cfg.exact_t_end)
+                # ONE host sync per batch: how many slots ran (the rest hit
+                # t_end inside the program and emitted masked zero rows)
+                n_done = int(np.asarray(outs["active"]).sum())
+                auxs = outs["aux"]
+                pending_nan.append((auxs["nan"][:n_done].any(), t))
+                rec.append_block("times", outs["t_at"][:n_done])
+                rec.append_dict_block({k: v[:n_done]
+                                       for k, v in auxs.items()
+                                       if not isinstance(v, dict)})
+                if arec is not None:
+                    host = {k: np.asarray(v) for k, v in auxs.items()
+                            if not isinstance(v, dict)
+                            and not k.startswith("_")}
+                    t_ats = np.asarray(outs["t_at"])
+                    for i in range(n_done):
+                        arec_record(n_step + i, float(t_ats[i]),
+                                    {k: v[i] for k, v in host.items()})
+                t = float(t_f)
+                dt = float(dt_prev_f)
+                stepper.dt = float(dt_sugg_f)
+                cadence = max(cfg.nan_check_every, 1)
+                if (n_step + n_done) // cadence != n_step // cadence:
+                    check_nan()
+                n_step += n_done
+                steps_done += n_done
                 continue
         if cfg.profile_dir:
             # jax.profiler trace over a step window (SURVEY.md section 5.1:

@@ -708,6 +708,9 @@ class TDVP:
                                   static_argnames=("n", "n_obs"))
         self._fused_rk23 = jax.jit(self._rk23_attempt_impl,
                                    static_argnames=("n", "n_obs"))
+        self._fused_amulti = jax.jit(
+            self._adaptive_multi_impl,
+            static_argnames=("n", "n_obs", "kind", "exact"))
 
     # ------------------------------------------------------------------
     # Per-sample physics: logp, score, O-row, Hessian block, Eloc.
@@ -1715,6 +1718,156 @@ class TDVP:
             body, (theta_m, chain_state), (ts, dts, keys))
         return theta_f, cs_f, auxs
 
+    def _adaptive_multi_impl(self, theta_m, t0, dt_sugg0, dt_prev0, keys,
+                             chain_state, rw_scale, t_end, t_eps, tol,
+                             max_step, n: int, n_obs: int,
+                             kind: str = "heun", exact: bool = False):
+        """Up to K adaptive steps in ONE dispatch: a lax.scan over per-step
+        keys whose body runs the embedded attempt (heun:
+        _heun_attempt_impl, rk23: _rk23_attempt_impl) inside a
+        lax.while_loop with the dt controller ON DEVICE -- accept/reject
+        never round-trips to the host. The reference re-dispatches every
+        RHS stage of every attempt from its host loop (stepper.py:54-79);
+        the fused attempt cut that to one dispatch per attempt; this cuts
+        it to one per K steps.
+
+        Semantics are the per-step AdaptiveHeun/AdaptiveRK23 contract:
+        fe = tol / err (inf at err <= 0, so a NaN error accepts the step
+        and surfaces through the aux NaN flag -- identical to the host
+        loop's NaN comparison semantics), dt scale clamp
+        [0.2, 2] * 0.9 * fe^(1/3), maxStep cap, the UNCAPPED dt suggestion
+        carried between steps while ``exact`` clamps each attempt at
+        t_end - t (driver exact_t_end), per-attempt RNG off = 5 * attempt,
+        stage-0 observables/aux of the ACCEPTED attempt (Q10), MCMC chain
+        state advancing through rejected attempts with acceptance counts
+        summed over all attempts. Controller/time arithmetic runs in
+        master precision on device, matching the host loop's Python f64.
+
+        The number of steps to t_end is data-dependent (dt is chosen
+        on-device), so slots run under a mask: slot i is active while the
+        driver's loop condition holds (t < t_end - t_eps when exact, the
+        reference's ``t < t_end + dt_prev`` overshoot otherwise, quirk
+        Q11); inactive slots pass the carry through and emit zero rows.
+        The driver records the first n_done = active.sum() rows.
+
+        Returns (theta_f, t_f, dt_sugg_f, dt_prev_f, chain_state_f, outs)
+        with outs = {"aux": stacked per-step aux (SExp dropped --
+        never scan-stack K (P, P) metric matrices; dist_params of the
+        post-step parameters added), "t_at": step start times,
+        "dt_used", "attempts", "active"}.
+        """
+        compute = self.precision.compute
+        master = self.precision.master
+        attempt_impl = (self._rk23_attempt_impl if kind == "rk23"
+                        else self._heun_attempt_impl)
+
+        def strong(x):
+            # while_loop/cond carries must have stable avals: strip weak
+            # types that Python-scalar arithmetic leaves on traced values
+            return jax.lax.convert_element_type(x, x.dtype)
+
+        # Abstract template of one attempt's outputs -> strong-typed zeros
+        # for the while_loop / masked-slot carries (traces no extra
+        # attempt program).
+        dy_s, _, aux_s = jax.eval_shape(
+            partial(attempt_impl, n=n, n_obs=n_obs),
+            jnp.zeros((self.n_params,), compute), jnp.zeros((), compute),
+            jnp.zeros((), compute), keys[0], jnp.zeros((), jnp.int32),
+            chain_state, rw_scale)
+        aux_zeros = {
+            k: jax.tree.map(lambda v: jnp.zeros(v.shape, v.dtype), v)
+            for k, v in aux_s.items() if k != "_chain_state"
+        }
+        has_mcmc = "mcmc_accepted" in aux_zeros
+        dp_s = jax.eval_shape(
+            lambda th: self._unravel(th)["latent"]["dist_params"],
+            jnp.zeros((self.n_params,), compute))
+
+        def step_body(carry, key):
+            theta, t, dt_sugg, dt_prev, cs = carry
+            if exact:
+                active = t < t_end - t_eps
+            else:
+                active = t < t_end + dt_prev
+
+            def take(op):
+                theta, t, dt_sugg, dt_prev, cs = op
+                cap = t_end - t
+                dt0 = jnp.minimum(dt_sugg, cap) if exact else dt_sugg
+
+                def a_body(c):
+                    dt = c["dt"]
+                    dy, err, aux = attempt_impl(
+                        theta.astype(compute), t.astype(compute),
+                        dt.astype(compute), key, 5 * c["attempt"],
+                        c["cs"], rw_scale, n=n, n_obs=n_obs)
+                    aux = dict(aux)
+                    cs2 = aux.pop("_chain_state", c["cs"])
+                    dy, aux = jax.tree.map(strong, (dy, aux))
+                    errm = err.astype(master)
+                    fe = jnp.where(errm > 0.0,
+                                   jnp.asarray(tol, master) / errm,
+                                   jnp.inf)
+                    scale = jnp.clip(0.9 * fe ** (1.0 / 3.0), 0.2, 2.0)
+                    dt_free = jnp.minimum(dt * scale, max_step)
+                    dt_next = (jnp.minimum(dt_free, cap) if exact
+                               else dt_free)
+                    acc = c["acc"]
+                    if has_mcmc:
+                        acc = (acc[0] + aux["mcmc_accepted"],
+                               acc[1] + aux["mcmc_proposed"])
+                    return dict(dt=strong(dt_next), fe=strong(fe),
+                                attempt=c["attempt"] + 1, dy=dy, aux=aux,
+                                cs=cs2, dt_free=strong(dt_free),
+                                real_dt=strong(dt), acc=acc)
+
+                acc0 = None
+                if has_mcmc:
+                    acc0 = (jnp.zeros(aux_s["mcmc_accepted"].shape,
+                                      aux_s["mcmc_accepted"].dtype),
+                            jnp.zeros(aux_s["mcmc_proposed"].shape,
+                                      aux_s["mcmc_proposed"].dtype))
+                c0 = dict(dt=strong(dt0), fe=jnp.zeros((), master),
+                          attempt=jnp.zeros((), jnp.int32),
+                          dy=jnp.zeros(dy_s.shape, dy_s.dtype),
+                          aux=aux_zeros, cs=cs, dt_free=strong(dt0),
+                          real_dt=strong(dt0), acc=acc0)
+                c = jax.lax.while_loop(lambda c: c["fe"] < 1.0, a_body,
+                                       c0)
+                theta2 = theta + c["dy"].astype(master)
+                aux = dict(c["aux"])
+                aux.pop("SExp", None)
+                if has_mcmc:
+                    aux["mcmc_accepted"], aux["mcmc_proposed"] = c["acc"]
+                aux["dist_params"] = strong(self._unravel(
+                    theta2.astype(compute))["latent"]["dist_params"])
+                out = dict(aux=aux, t_at=t, dt_used=c["real_dt"],
+                           attempts=c["attempt"],
+                           active=jnp.ones((), jnp.bool_))
+                return (theta2, strong(t + c["real_dt"]), c["dt_free"],
+                        c["real_dt"], c["cs"]), out
+
+            def skip(op):
+                theta, t, dt_sugg, dt_prev, cs = op
+                aux = dict(aux_zeros)
+                aux.pop("SExp", None)
+                aux["dist_params"] = jnp.zeros(dp_s.shape, dp_s.dtype)
+                out = dict(aux=aux, t_at=t,
+                           dt_used=jnp.zeros((), master),
+                           attempts=jnp.zeros((), jnp.int32),
+                           active=jnp.zeros((), jnp.bool_))
+                return op, out
+
+            return jax.lax.cond(active, take, skip,
+                                (theta, t, dt_sugg, dt_prev, cs))
+
+        init = (theta_m, jnp.asarray(t0, master),
+                jnp.asarray(dt_sugg0, master),
+                jnp.asarray(dt_prev0, master), chain_state)
+        (theta_f, t_f, dt_sugg_f, dt_prev_f, cs_f), outs = jax.lax.scan(
+            step_body, init, keys)
+        return theta_f, t_f, dt_sugg_f, dt_prev_f, cs_f, outs
+
     def _fused_mcmc_inputs(self, key):
         """(chain_state, rw_scale) for a fused dispatch (None, None when the
         sampler is exact / not fused)."""
@@ -1776,6 +1929,40 @@ class TDVP:
         # heun_pair/heun_attempt (the per-step paths).
         return theta_f, auxs
 
+    def adaptive_multi(self, theta, t, dt_sugg, dt_prev, keys, t_end,
+                       t_eps, tol, max_step, kind: str = "heun",
+                       exact: bool = False):
+        """Run up to ``len(keys)`` adaptive steps in one dispatch with the
+        attempt retry loop and dt controller on device (requires
+        ``fused_steps_available``). ``dt_sugg`` is the stepper's carried
+        (uncapped) dt suggestion, ``dt_prev`` the last accepted step's
+        dt_used (the reference's loop-condition dt, quirk Q11). Returns
+        (theta_f master, t_f, dt_sugg_f, dt_prev_f, outs); see
+        _adaptive_multi_impl for the outs schema and masking contract.
+        Like heun_multi, the per-call diagnostic attributes (ev/snr/...)
+        are deliberately not updated -- the driver's batched branch reads
+        the stacked aux directly."""
+        theta_m = jnp.asarray(theta, dtype=self.precision.master)
+        cs, rw = self._fused_mcmc_inputs(keys[0])
+        args = (theta_m, float(t), float(dt_sugg), float(dt_prev), keys,
+                cs, rw, float(t_end), float(t_eps), float(tol),
+                float(max_step))
+        fn = self._aot.get(("amulti", kind, int(keys.shape[0]), exact))
+        if fn is not None:
+            try:
+                res = fn(*args)
+            except (TypeError, ValueError):
+                fn = None
+        if fn is None:
+            res = self._fused_amulti(
+                *args, n=self.n_samples, n_obs=self.n_samples_obs,
+                kind=kind, exact=exact)
+        theta_f, t_f, dt_sugg_f, dt_prev_f, cs_f, outs = res
+        outs = dict(outs)
+        outs["aux"] = self._absorb_mcmc(dict(outs["aux"]),
+                                        chain_state=cs_f)
+        return theta_f, t_f, dt_sugg_f, dt_prev_f, outs
+
     def _finish_fused(self, dy, aux):
         """Shared host-side tail of the fused stepper stages."""
         self.ev = aux.get("ev", aux.get("ev_topk"))
@@ -1800,7 +1987,9 @@ class TDVP:
 
     def warm_aot(self, cache_dir, kind: str = "pair", K: int = 1,
                  t: float = 0.0, dt: float = 1e-3, key=None,
-                 verbose: bool = False):
+                 verbose: bool = False, t_end: float = 1.0,
+                 tol: float = 1e-8, max_step: float = 1.0,
+                 exact: bool = False):
         """Pre-load (or compile and persist) a fused stepper executable
         from the AOT cache (utils/aot.py): subsequent heun_pair /
         heun_attempt / heun_multi calls run it directly, skipping
@@ -1848,6 +2037,20 @@ class TDVP:
             self._aot["multi", step_kind, K] = aot.load_or_compile(
                 self._fused_multi, args, dict(kw, kind=step_kind),
                 cache_dir, f"{step_kind}_multi_k{K}",
+                devices=devs, verbose=verbose)
+        elif kind in ("amulti", "amulti_rk23"):
+            # adaptive multi-step: the scalar operands (t/dt/t_end/tol/...)
+            # are weak f64 avals, so their VALUES don't affect the compiled
+            # program; ``exact`` is static and must match the run.
+            step_kind = "rk23" if kind == "amulti_rk23" else "heun"
+            theta_m = jnp.zeros((self.n_params,), self.precision.master)
+            keys = jnp.stack([jax.random.fold_in(key, i) for i in range(K)])
+            args = (theta_m, float(t), float(dt), float(dt), keys, cs, rw,
+                    float(t_end), 1e-12, float(tol), float(max_step))
+            self._aot["amulti", step_kind, K, exact] = aot.load_or_compile(
+                self._fused_amulti, args,
+                dict(kw, kind=step_kind, exact=exact), cache_dir,
+                f"{step_kind}_amulti_k{K}{'_exact' if exact else ''}",
                 devices=devs, verbose=verbose)
         else:
             raise ValueError(f"unknown warm_aot kind {kind!r}")
