@@ -42,3 +42,9 @@ timeout 1200 python -m vmc_pde_tpu.driver mwe --samples 4096 --t-end 0.05 \
 timeout 1200 python -m vmc_pde_tpu.driver mwe --samples 4096 --t-end 0.05 \
     --precision tpu --stepper adaptive_rk23 --max-steps 10 \
     --aot-dir /root/repo/.aot_cache 2>&1 | tail -20 | tee results/rk23_tpu.txt
+
+# 7. On-device adaptive multi-step (lax.while_loop attempt loop inside a
+#    masked lax.scan): compile + run on the TPU f32 path. dim=4 keeps the
+#    grid (2-D-only) out of the way so the batched branch engages.
+timeout 1200 python scripts/amulti_tpu_smoke.py \
+    --aot-dir /root/repo/.aot_cache 2>&1 | tee results/amulti_tpu.txt

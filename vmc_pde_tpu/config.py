@@ -91,8 +91,11 @@ class RunConfig:
     # Heun's O(dt^2) (measured: L2 = ||dp/dt|| * dt on the mwe workload).
     # Default False = reference-compatible trajectories.
     exact_t_end: bool = False
-    # >1 batches that many fixed-Heun/RK3 steps into ONE device dispatch
-    # (lax.scan in TDVP.heun_multi), amortizing host dispatch latency;
+    # >1 batches that many steps into ONE device dispatch, amortizing host
+    # dispatch latency. Fixed Heun/RK3: lax.scan over precomputed (t, dt)
+    # (TDVP.heun_multi). Adaptive Heun/RK23: the attempt retry loop and dt
+    # controller run ON DEVICE (lax.while_loop inside a masked lax.scan,
+    # TDVP.adaptive_multi) -- steps past t_end are masked out in-program.
     # RNG/physics/recorded infos identical to per-step integration (MCMC
     # workloads included: the chain state threads through the scan carry).
     # Auto-disabled when a per-step host action applies (verbose logging,

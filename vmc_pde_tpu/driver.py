@@ -551,9 +551,10 @@ def main(argv=None):
                         "(the reference loop overshoots by up to one dt, "
                         "quirk Q11)")
     p.add_argument("--steps-per-dispatch", type=int, default=None,
-                   help=">1: batch that many fixed-Heun steps into one "
-                        "device dispatch (lax.scan; disables per-step "
-                        "verbose logging)")
+                   help=">1: batch that many steps into one device "
+                        "dispatch (fixed steppers: lax.scan; adaptive "
+                        "steppers: on-device attempt/dt-controller loop; "
+                        "disables per-step verbose logging)")
     p.add_argument("--mesh-dp", type=int, default=None,
                    help="sample-parallel mesh size (-1 = all devices)")
     p.add_argument("--mesh-tp", type=int, default=None,
