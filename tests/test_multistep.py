@@ -152,6 +152,22 @@ def test_adaptive_multistep_exact_t_end():
 
 
 @pytest.mark.slow
+def test_adaptive_multistep_dp4tp2():
+    """Batched adaptive stepping on the 2-D (dp x tp) mesh: the while_loop/
+    cond program composes with the sample-axis dp sharding and the Gram
+    result's tp sharding; trajectory matches the dp8 default-mesh run to
+    the cross-mesh tolerance class."""
+    s1, r1 = run(_acfg(steps_per_dispatch=1, mesh_dp=4, mesh_tp=2))
+    s3, r3 = run(_acfg(steps_per_dispatch=3, mesh_dp=4, mesh_tp=2))
+    a1, a3 = r1.as_arrays(), r3.as_arrays()
+    assert a1["times"].shape == a3["times"].shape
+    np.testing.assert_allclose(a1["times"], a3["times"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1.get_parameters()),
+                               np.asarray(s3.get_parameters()),
+                               rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_adaptive_multistep_mcmc_matches_per_step():
     """Fused-MCMC workload (fluidpaper preset) under batched adaptive
     stepping: the Metropolis chain state threads through attempts and

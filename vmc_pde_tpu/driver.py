@@ -383,10 +383,12 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                 # t_end inside the program and emitted masked zero rows)
                 n_done = int(np.asarray(outs["active"]).sum())
                 auxs = outs["aux"]
-                pending_nan.append((auxs["nan"][:n_done].any(), t))
-                rec.append_block("times", outs["t_at"][:n_done])
-                rec.append_dict_block({k: v[:n_done]
-                                       for k, v in auxs.items()
+                if n_done < K:  # slice off masked zero rows (final batch)
+                    auxs = {k: v[:n_done] for k, v in auxs.items()}
+                    outs["t_at"] = outs["t_at"][:n_done]
+                pending_nan.append((auxs["nan"].any(), t))
+                rec.append_block("times", outs["t_at"])
+                rec.append_dict_block({k: v for k, v in auxs.items()
                                        if not isinstance(v, dict)})
                 if arec is not None:
                     host = {k: np.asarray(v) for k, v in auxs.items()
