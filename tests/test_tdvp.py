@@ -887,6 +887,66 @@ def test_aot_multi_and_driver_wiring(tmp_path, ctx1):
                                np.asarray(infos["entropy"]), rtol=1e-12)
 
 
+def test_aot_adaptive_multi_roundtrip(tmp_path, ctx1, monkeypatch):
+    """warm_aot kind='amulti': the on-device adaptive multi-step program
+    serializes/loads through the AOT cache (fake serializers, as in the
+    pair round-trip test) and the AOT-dispatched call matches the jit
+    path bit-for-bit."""
+    import os
+
+    from jax.experimental import serialize_executable as se
+    from vmc_pde_tpu.utils import aot
+
+    calls = {"ser": 0, "deser": 0}
+    store = {}
+
+    def fake_serialize(compiled):
+        calls["ser"] += 1
+        store["obj"] = compiled
+        return b"amulti-bytes", None, None
+
+    def fake_deserialize(payload, in_tree, out_tree, backend=None,
+                         execution_devices=None):
+        calls["deser"] += 1
+        return store["obj"]
+
+    monkeypatch.setattr(se, "serialize", fake_serialize)
+    monkeypatch.setattr(se, "deserialize_and_load", fake_deserialize)
+    monkeypatch.setattr(aot, "SUPPORTED_BACKENDS", ("tpu", "cpu"))
+
+    st, td = make_problem(ctx1, dim=2, n=512, cfg=TDVPConfig())
+    td.warm_aot(str(tmp_path), kind="amulti", K=3, tol=1e-6,
+                max_step=5e-3, t_end=0.05)
+    assert ("amulti", "heun", 3, False) in td._aot
+    assert calls == {"ser": 1, "deser": 0}
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".aotx")]
+    assert len(files) == 1 and files[0].startswith("heun_amulti_k3-")
+
+    theta = st.get_parameters()
+    keys = jnp.stack([jax.random.PRNGKey(40 + i) for i in range(3)])
+    res1 = td.adaptive_multi(theta, 0.0, 1e-3, 1e-3, keys, 0.05, 1e-12,
+                             1e-6, 5e-3)
+
+    # fresh problem: loads the entry, same results; jit path agrees
+    st2, td2 = make_problem(ctx1, dim=2, n=512, cfg=TDVPConfig())
+    td2.warm_aot(str(tmp_path), kind="amulti", K=3, tol=1e-6,
+                 max_step=5e-3, t_end=0.05)
+    assert calls == {"ser": 1, "deser": 1}
+    res2 = td2.adaptive_multi(theta, 0.0, 1e-3, 1e-3, keys, 0.05, 1e-12,
+                              1e-6, 5e-3)
+    st3, td3 = make_problem(ctx1, dim=2, n=512, cfg=TDVPConfig())
+    res3 = td3.adaptive_multi(theta, 0.0, 1e-3, 1e-3, keys, 0.05, 1e-12,
+                              1e-6, 5e-3)
+    for other in (res2, res3):
+        np.testing.assert_array_equal(np.asarray(res1[0]),
+                                      np.asarray(other[0]))
+        assert float(res1[1]) == float(other[1])  # t_f
+        np.testing.assert_array_equal(
+            np.asarray(res1[4]["aux"]["entropy"]),
+            np.asarray(other[4]["aux"]["entropy"]))
+    assert bool(np.asarray(res1[4]["active"]).all())
+
+
 def test_is_tempering_sharded(ctx8, ctx1):
     """Tail-tempered IS composes with the dp mesh: identical key ->
     identical proposal draws and weights, so the sharded weighted
