@@ -11,9 +11,12 @@ Usage: python scripts/amulti_tpu_smoke.py [--aot-dir DIR]
 """
 
 import argparse
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():
