@@ -250,26 +250,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
-    # Default operating point (round 3): N=131,072 with the chunked Gram
-    # -- measured 277k samples/s/chip at 73% of the 3-pass MXU ceiling, vs
-    # 223k at the round-2 default N=16,384 direct (the Gram amortizes the
-    # fixed solve better at larger batch; the sweep 16k/32k/65k/131k/262k
-    # gives 222/248/263/277/285k, with 131k the knee before per-step
-    # latency doubles for +3%). Same model, physics, and metric -- batch
-    # size is a free parameter of the samples/s/chip measurement.
-    ap.add_argument("--samples", type=int, default=131072)
-    ap.add_argument("--chunk", type=int, default=8192,
+    # Default operating point (late round 3): N=524,288 / chunk=32,768
+    # with the triangle-blocked Gram (tri2, auto) -- measured 454,283
+    # samples/s/chip (results/bench_tri2_r3c.txt). The (N, chunk) sweep
+    # (results/bench_opsweep_r3c.txt): chunk 32k amortizes the per-chunk
+    # (P, P) accumulator traffic (8k -> 16k alone was +8%), larger N
+    # amortizes the fixed solve (131k/262k/524k -> 370/399/408k on sym2),
+    # and tri2 adds ~+10-11% at every point. Same model, physics, and
+    # metric -- batch size is a free parameter of the samples/s/chip
+    # measurement (and at d=32, 5e5 samples is a realistic production
+    # budget; the per-step latency is 1.15 s).
+    ap.add_argument("--samples", type=int, default=524288)
+    ap.add_argument("--chunk", type=int, default=32768,
                     help="streaming Gram chunk size (0 = direct; the "
-                         "auto gram backend picks the 2-pass sym2 split "
-                         "on TPU either way)")
+                         "auto gram backend picks the triangle-blocked "
+                         "2-pass split (tri2) on single-device TPU "
+                         "either way)")
     ap.add_argument("--gram-precision", type=str, default="high",
                     choices=["highest", "high", "default", "f64"])
     ap.add_argument("--gram-backend", type=str, default="auto",
-                    choices=["auto", "xla", "syrk", "sym2"],
-                    help="Gram contraction backend (syrk = triangle-only "
-                         "Pallas kernel, 'auto' uses it on single-chip "
-                         "TPU; sym2 = 2-pass symmetric hi/lo split, works "
-                         "chunked and on any mesh)")
+                    choices=["auto", "xla", "syrk", "sym2", "tri2"],
+                    help="Gram contraction backend (sym2 = 2-pass "
+                         "symmetric hi/lo split, works chunked and on any "
+                         "mesh; tri2 = triangle-blocked sym2, single-"
+                         "device, ~1.56 passes -- 'auto' picks it at the "
+                         "headline shape; syrk = triangle Pallas kernel)")
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky", "cg", "minsr"])
     ap.add_argument("--quick", action="store_true",
@@ -330,6 +335,7 @@ def main():
                         gram_precision=args.gram_precision,
                         gram_backend=args.gram_backend)
     backend = ("syrk" if tdvp._use_syrk
+               else "tri2" if tdvp._use_tri2
                else "sym2" if tdvp._use_sym2 else "xla")
     log(f"solver={tdvp.solver_method} chunk={args.chunk} "
         f"gram={args.gram_precision} backend={backend}")
@@ -340,9 +346,17 @@ def main():
     sps = tdvp.n_samples / dt_fused / n_chips
     log(f"fused: {dt_fused * 1e3:.2f} ms/rhs -> {sps:,.0f} samples/s/chip")
     # sym2 executes the f32-grade Gram in 2 MXU passes instead of HIGH's
-    # 3; its ceiling (and thus the honest MFU denominator) is higher
+    # 3; tri2 mirrors the symmetric term's block-triangle for
+    # 1.5 + 0.5/K effective passes. The ceiling (and thus the honest MFU
+    # denominator) scales accordingly.
+    if tdvp._use_tri2:
+        from vmc_pde_tpu.parallel.stats import tri2_bounds
+        k_panels = len(tri2_bounds(state.numParameters)) - 1
+        passes = 1.5 + 0.5 / k_panels
+    else:
+        passes = 2 if tdvp._use_sym2 else 3
     mfu_report(dt_fused, tdvp.n_samples, state.numParameters, args.dim,
-               gram_passes=2 if tdvp._use_sym2 else 3)
+               gram_passes=passes)
 
     if args.stages:
         stage_breakdown(state, tdvp)

@@ -495,6 +495,135 @@ def test_sym2_gram_sum_identity():
                                    atol=1e-5 * np.abs(got).max())
 
 
+def test_gram_backend_tri2_matches_xla(ctx1):
+    """The triangle-blocked 2-pass Gram backend must reproduce the XLA
+    HIGH statistics -- S0, A, SExp, and (unchanged) F0 -- on identical
+    samples, on both the direct and the chunked paths. tri2 computes the
+    block-lower-triangle of the symmetric hi-term and mirrors ONCE after
+    accumulation, so chunked agreement also exercises the raw {t, m2}
+    carry pytree through lax.scan."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    kw = dict(compute_snr=True, compute_sexp=True, gram_precision="high")
+    for chunk in (0, 512):
+        cfg_x = TDVPConfig(gram_backend="xla", chunk_size=chunk, **kw)
+        cfg_t = TDVPConfig(gram_backend="tri2", chunk_size=chunk, **kw)
+        st, t_x = make_problem(ctx1, dim=2, n=2048, cfg=cfg_x, prec=prec)
+        _, t_t = make_problem(ctx1, dim=2, n=2048, cfg=cfg_t, prec=prec)
+        assert t_t._use_tri2 and not t_x._use_tri2
+
+        theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+        params = t_x._unravel(theta_c)
+        z = st.flow.latent_sample(jax.random.PRNGKey(5), params, 2048,
+                                  dtype=prec.compute)
+        x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+        stats_fn = "_chunked_stats" if chunk else "_direct_stats"
+        s_x = getattr(t_x, stats_fn)(theta_c, 0.0, x)
+        s_t = getattr(t_t, stats_fn)(theta_c, 0.0, x)
+        for key in ("S0", "A", "SExp"):
+            a, b = np.asarray(s_x[key]), np.asarray(s_t[key])
+            np.testing.assert_allclose(
+                b, a, atol=5e-5 * np.abs(a).max(),
+                err_msg=f"{key} (chunk={chunk})")
+        np.testing.assert_allclose(np.asarray(s_t["F0"]),
+                                   np.asarray(s_x["F0"]), rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_tri2_gram_identity():
+    """Unit check of the triangle-blocked split against the f64 Gram and
+    against sym2 (same numerics class: identical three hi/lo terms),
+    unweighted / nonnegative / SIGNED weights, at a ragged panel split
+    (P not a multiple of K), plus exact symmetry of the mirrored result."""
+    from vmc_pde_tpu.parallel import stats as pstats
+
+    rng = np.random.default_rng(7)
+    for P in (33, 700):
+        X = rng.standard_normal((512, P)).astype(np.float32)
+        w = (rng.random(512) + 0.1).astype(np.float32)
+        ws = rng.standard_normal(512).astype(np.float32)
+        ws[:7] = 0.0
+        bounds = pstats.tri2_bounds(P, target_block=max(16, P // 3))
+        assert bounds[0] == 0 and bounds[-1] == P
+        for ww in (None, w, ws):
+            ref = X.astype(np.float64).T @ (
+                X if ww is None else X * ww[:, None]).astype(np.float64)
+            jw = None if ww is None else jnp.asarray(ww)
+            raw = pstats.tri2_gram_sum_raw(jnp.asarray(X), jw, bounds)
+            got = np.asarray(pstats.tri2_gram_finalize(raw, bounds))
+            np.testing.assert_allclose(got, ref,
+                                       atol=2e-3 * np.abs(ref).max())
+            s2 = np.asarray(pstats.sym2_gram_sum(jnp.asarray(X), jw))
+            np.testing.assert_allclose(got, s2,
+                                       atol=2e-5 * np.abs(ref).max())
+            np.testing.assert_allclose(got, got.T,
+                                       atol=1e-5 * np.abs(got).max())
+
+
+def test_sym2_outer_sum_identity():
+    """Kernel-space orientation of the 2-pass split (minSR's T = G G^T):
+    agreement with the f64 outer Gram at the bf16-split class, exact
+    symmetry bar as sym2_gram_sum."""
+    from vmc_pde_tpu.parallel import stats as pstats
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((130, 517)).astype(np.float32)
+    ref = X.astype(np.float64) @ X.astype(np.float64).T
+    got = np.asarray(pstats.sym2_outer_sum(jnp.asarray(X)))
+    np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max())
+    np.testing.assert_allclose(got, got.T, atol=1e-5 * np.abs(got).max())
+
+
+def test_minsr_sym2_kernel_matches_high(ctx1):
+    """minSR's 2-pass kernel assembly (engaged via gram_backend='sym2' at
+    the f32/'high' point) must reproduce the 3-pass HIGH solve: same
+    update, spectrum, and residual to split-class tolerance, on both the
+    direct and the chunked (pairwise-block) paths."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    for chunk in (0, 16):
+        cfg_x = TDVPConfig(solver_method="minsr", gram_backend="xla",
+                           chunk_size=chunk, gram_precision="high")
+        cfg_s = TDVPConfig(solver_method="minsr", gram_backend="sym2",
+                           chunk_size=chunk, gram_precision="high")
+        st, t_x = make_problem(ctx1, dim=4, n=64, cfg=cfg_x, prec=prec)
+        _, t_s = make_problem(ctx1, dim=4, n=64, cfg=cfg_s, prec=prec)
+        assert t_s._use_sym2 and not t_x._use_sym2
+
+        theta = st.get_parameters()
+        u_x, aux_x = t_x.rhs(theta, 0.0, jax.random.PRNGKey(3))
+        u_s, aux_s = t_s.rhs(theta, 0.0, jax.random.PRNGKey(3))
+        scale = np.abs(np.asarray(u_x)).max()
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_x),
+                                   atol=5e-4 * scale,
+                                   err_msg=f"update (chunk={chunk})")
+        np.testing.assert_allclose(
+            np.asarray(aux_s["ev"]), np.asarray(aux_x["ev"]),
+            atol=5e-5 * np.abs(np.asarray(aux_x["ev"])).max(),
+            err_msg=f"spectrum (chunk={chunk})")
+
+
+def test_gram_backend_tri2_rejects_other_numerics(ctx1):
+    """tri2 IS the f32 'high' operating point, like sym2."""
+    with pytest.raises(ValueError, match="tri2"):
+        make_problem(ctx1, cfg=TDVPConfig(gram_backend="tri2",
+                                          gram_precision="highest"))
+
+
+def test_gram_backend_tri2_rejects_mesh(ctx8):
+    """tri2's split dot_generals would double the Gram collective bytes on
+    a dp mesh; the explicit override must fail loudly there."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    with pytest.raises(ValueError, match="single-device"):
+        make_problem(ctx8, cfg=TDVPConfig(gram_backend="tri2",
+                                          gram_precision="high"),
+                     prec=resolve("tpu"))
+
+
 def test_gram_backend_sym2_rejects_other_numerics(ctx1):
     """sym2 IS the f32 'high' operating point; explicit overrides at other
     precision configurations must fail loudly rather than silently change

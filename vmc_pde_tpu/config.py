@@ -63,7 +63,7 @@ class RunConfig:
     solver_method: str = "auto"     # auto | eigh | cholesky | cg | minsr
     eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
     gram_precision: str = "high"    # highest | high | default (MXU passes)
-    gram_backend: str = "auto"      # auto | xla | syrk (triangle kernel)
+    gram_backend: str = "auto"      # auto | xla | syrk | sym2 | tri2
     hessian_mode: str = "auto"      # auto | trace | block (TDVPConfig)
     # Per-sample pipeline backend: auto | xla | pallas (TDVPConfig;
     # kernels/persample.py -- "auto" fuses the per-sample stage into the

@@ -525,10 +525,12 @@ def main(argv=None):
                         "gradients -- reference-grade residuals on TPU; "
                         "pair with --precision tpu_f64stats)")
     p.add_argument("--gram-backend", type=str, default=None,
-                   choices=["auto", "xla", "syrk", "sym2"],
+                   choices=["auto", "xla", "syrk", "sym2", "tri2"],
                    help="Gram contraction backend (syrk = triangle-only "
                         "Pallas kernel, kernels/syrk.py; sym2 = 2-pass "
-                        "symmetric hi/lo split, any mesh, chunk-safe)")
+                        "symmetric hi/lo split, any mesh, chunk-safe; "
+                        "tri2 = triangle-blocked sym2, single-device, "
+                        "~1.56 passes)")
     p.add_argument("--per-sample-backend", type=str, default=None,
                    choices=["auto", "xla", "pallas"],
                    help="per-sample pipeline backend (pallas = fused "

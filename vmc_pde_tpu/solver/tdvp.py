@@ -101,11 +101,19 @@ class TDVPConfig:
     # S = O^T O under the hi/lo bf16 split: HIGH's third pass is the
     # transpose of its second, so two MXU passes reproduce all three
     # HIGH terms (parallel/stats.sym2_gram_sum; 1.5x FLOP cut at the
-    # same numerics class, chunk-safe, SPMD-partitionable). "syrk"
-    # computes only the lower-triangle tiles with a single-device Pallas
-    # kernel (kernels/syrk.py). "xla" is the plain matmul. "auto" picks
-    # sym2 on TPU with f32 "high"-precision stats (it wins on every
-    # measured shape, direct and chunked, and shards) and xla otherwise.
+    # same numerics class, chunk-safe, SPMD-partitionable). "tri2"
+    # additionally computes only the block-lower-triangle of the
+    # symmetric first term and mirrors once after accumulation
+    # (stats.tri2_gram_sum_raw): 1.5 + 0.5/K effective passes;
+    # single-device only (its K+1 split dot_generals would double the
+    # Gram's collective bytes on a mesh). "syrk" computes only the
+    # lower-triangle tiles with a single-device Pallas kernel
+    # (kernels/syrk.py). "xla" is the plain matmul. "auto" picks, on TPU
+    # with f32 "high"-precision stats, tri2 on a single device at
+    # P >= 4096 and sym2 otherwise (both win on every measured shape,
+    # direct and chunked; sym2 also shards); xla elsewhere. The same
+    # flag gates minSR's symmetric kernel-space contractions
+    # (stats.sym2_outer_sum for T's diagonal/direct assembly).
     gram_backend: str = "auto"
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
@@ -373,11 +381,18 @@ def _minsr_kernel_solve(T, e_c, cfg: TDVPConfig, sdt):
     return alpha, ev, snr, residual, tdvp_quad
 
 
-def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt):
+def _solve_minsr(O_c, e_c, cfg: TDVPConfig, precision, sdt,
+                 use_sym2=False):
     """Direct (materialized-O) minSR: form T on the MXU, solve in kernel
     space, push alpha back through O (update = Obar^T alpha). Returns
-    (update, ev, snr, residual, tdvp_quad); see _minsr_kernel_solve."""
-    T = jnp.matmul(O_c, O_c.T, precision=precision)
+    (update, ev, snr, residual, tdvp_quad); see _minsr_kernel_solve.
+    ``use_sym2``: assemble the symmetric T in two bf16 passes
+    (stats.sym2_outer_sum) instead of HIGH's three -- the caller gates
+    this to the f32/'high' TPU operating point."""
+    if use_sym2:
+        T = stats.sym2_outer_sum(O_c)
+    else:
+        T = jnp.matmul(O_c, O_c.T, precision=precision)
     alpha, ev, snr, residual, tdvp_quad = _minsr_kernel_solve(
         T, e_c, cfg, sdt)
     update = jnp.matmul(alpha.astype(O_c.dtype), O_c,
@@ -535,7 +550,7 @@ class TDVP:
             raise ValueError("gram_precision='f64' needs x64 enabled (use "
                              "a Precision preset that calls enable_x64, "
                              "e.g. 'tpu_f64stats')")
-        if cfg.gram_backend not in ("auto", "xla", "syrk", "sym2"):
+        if cfg.gram_backend not in ("auto", "xla", "syrk", "sym2", "tri2"):
             raise ValueError(f"unknown gram_backend {cfg.gram_backend!r}")
         # sym2: the 2-pass symmetric-Gram split (stats.sym2_gram_sum) --
         # pure XLA dot_generals, so it works on any mesh and inside the
@@ -552,6 +567,30 @@ class TDVP:
                 "gram_precision='high' numerics; use 'auto'/'xla' with "
                 "this precision configuration"
             )
+        # tri2: triangle-blocked sym2 (stats.tri2_gram_sum_raw) -- computes
+        # only the lower block-triangle of the symmetric H^T H term and
+        # mirrors once after accumulation: (1.5 + 0.5/K) MXU passes vs
+        # sym2's 2 at the same numerics class. Single-device only: the K+1
+        # separate dot_generals would each all-reduce on a dp mesh (~2x
+        # the Gram's collective bytes vs sym2's one assembled matrix).
+        self._use_tri2 = (
+            cfg.gram_backend == "tri2"
+            and self.precision.compute == jnp.float32
+            and cfg.gram_precision == "high"
+        )
+        if cfg.gram_backend == "tri2":
+            if not self._use_tri2:
+                raise ValueError(
+                    "gram_backend='tri2' implements f32 statistics at "
+                    "gram_precision='high' numerics; use 'auto'/'xla' "
+                    "with this precision configuration"
+                )
+            if self.ctx.mesh.size > 1:
+                raise ValueError(
+                    "gram_backend='tri2' is single-device (its split "
+                    "dot_generals would double the Gram collective bytes "
+                    "on a mesh); use gram_backend='auto'/'sym2'"
+                )
         if cfg.gram_backend == "auto":
             # sym2 wins everywhere measured at the f32/HIGH operating
             # point it serves: d=32 headline (N=131k chunked) 406.7 vs
@@ -570,6 +609,16 @@ class TDVP:
                 and self.precision.compute == jnp.float32
             )
             self._use_syrk = False
+            # Single-device + large P: upgrade to the triangle-blocked
+            # split (tri2) -- same numerics class, (1.5 + 0.5/K) MXU
+            # passes instead of sym2's 2. Gated at P >= 4096: below that
+            # the Gram is a minor cost and the K extra dot_generals just
+            # add compile/dispatch surface. (Measured at the d=32
+            # headline shape: see BENCHMARKS.md Gram-backend table.)
+            if (self._use_sym2 and self.ctx.mesh.size == 1
+                    and self.n_params >= 4096):
+                self._use_sym2 = False
+                self._use_tri2 = True
         else:
             self._use_syrk = cfg.gram_backend == "syrk"
             if self._use_syrk and self.ctx.mesh.size > 1:
@@ -811,7 +860,12 @@ class TDVP:
         F0 = jnp.matmul(wtimes(e_c), O_c, precision=mp) / n
         # every direct-path Gram weight is nonnegative (IS weights, e_c^2,
         # logp^2), so sym2's sqrt(w) folding applies throughout
-        if self._use_sym2:
+        if self._use_tri2:
+            bounds = stats.tri2_bounds(self.n_params)
+            gram = lambda gw=None: stats.tri2_gram_finalize(
+                stats.tri2_gram_sum_raw(O_c, gw, bounds), bounds
+            ).astype(cdt) / n
+        elif self._use_sym2:
             gram = lambda gw=None: stats.sym2_gram_sum(O_c, gw).astype(
                 cdt) / n
         elif self._use_syrk:
@@ -819,7 +873,8 @@ class TDVP:
         else:
             gram = lambda gw=None: stats.weighted_second_moment_matrix(
                 O_c, gw, cdt, precision=mp)
-        if w is None and not (self._use_syrk or self._use_sym2):
+        if w is None and not (self._use_syrk or self._use_sym2
+                              or self._use_tri2):
             S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
                                             precision=mp)
         else:
@@ -881,7 +936,17 @@ class TDVP:
                 Os.T, Os if w is None else Os * w[:, None],
                 preferred_element_type=cdt, precision=mp)
 
-        if self._use_syrk:
+        # tri2 accumulates RAW triangle parts {"t", "m2"} across chunks and
+        # mirrors once after the scan (gram_fin); the other backends carry
+        # the assembled (P, P) matrix and gram_fin is the identity.
+        if self._use_tri2:
+            bounds = stats.tri2_bounds(P)
+            gram_sum = lambda Os, w=None, signed=False: \
+                stats.tri2_gram_sum_raw(Os, w, bounds)
+            gram_zero = lambda: dict(t=jnp.zeros((P, P), cdt),
+                                     m2=jnp.zeros((P, P), cdt))
+            gram_fin = partial(stats.tri2_gram_finalize, bounds=bounds)
+        elif self._use_syrk:
             # triangle kernel: unnormalized chunk sums Os^T diag(w) Os
             gram_sum = lambda Os, w=None, signed=False: _syrk(
                 Os, w=w).astype(cdt)
@@ -894,6 +959,10 @@ class TDVP:
         else:
             gram_sum = lambda Os, w=None, signed=False: _matmul_gram_sum(
                 Os, w)
+        if not self._use_tri2:
+            gram_zero = lambda: jnp.zeros((P, P), cdt)
+            gram_fin = lambda m: m
+        gadd = partial(jax.tree.map, jnp.add)
 
         def chunk_fn(carry, xc, batch=None):
             logp, eloc, O = (batch if batch is not None
@@ -913,22 +982,22 @@ class TDVP:
                 sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
                 sum_EO=carry["sum_EO"]
                 + jnp.matmul(es, Os, precision=mp),
-                sum_OO=carry["sum_OO"] + gram_sum(Os),
+                sum_OO=gadd(carry["sum_OO"], gram_sum(Os)),
                 sum_logp=carry["sum_logp"] + jnp.sum(logp),
             )
             if want_A:
                 w = es**2
                 upd["sum_E2O"] = carry["sum_E2O"] + jnp.matmul(
                     w, Os, precision=mp)
-                upd["sum_E2OO"] = carry["sum_E2OO"] + gram_sum(Os, w)
-                upd["sum_EOO"] = carry["sum_EOO"] + gram_sum(
-                    Os, es, signed=True)
+                upd["sum_E2OO"] = gadd(carry["sum_E2OO"], gram_sum(Os, w))
+                upd["sum_EOO"] = gadd(carry["sum_EOO"], gram_sum(
+                    Os, es, signed=True))
             if cfg.compute_sexp:
                 w = logp**2
                 upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
                 upd["sum_l2O"] = carry["sum_l2O"] + jnp.matmul(
                     w, Os, precision=mp)
-                upd["sum_l2OO"] = carry["sum_l2OO"] + gram_sum(Os, w)
+                upd["sum_l2OO"] = gadd(carry["sum_l2OO"], gram_sum(Os, w))
             return upd, (logp, eloc)
 
         zero = dict(
@@ -938,17 +1007,17 @@ class TDVP:
             sum_E2=jnp.zeros((), cdt),
             sum_rawE2=jnp.zeros((), cdt),
             sum_EO=jnp.zeros((P,), cdt),
-            sum_OO=jnp.zeros((P, P), cdt),
+            sum_OO=gram_zero(),
             sum_logp=jnp.zeros((), cdt),
         )
         if want_A:
             zero["sum_E2O"] = jnp.zeros((P,), cdt)
-            zero["sum_E2OO"] = jnp.zeros((P, P), cdt)
-            zero["sum_EOO"] = jnp.zeros((P, P), cdt)
+            zero["sum_E2OO"] = gram_zero()
+            zero["sum_EOO"] = gram_zero()
         if cfg.compute_sexp:
             zero["sum_l2"] = jnp.zeros((), cdt)
             zero["sum_l2O"] = jnp.zeros((P,), cdt)
-            zero["sum_l2OO"] = jnp.zeros((P, P), cdt)
+            zero["sum_l2OO"] = gram_zero()
 
         # chunk 0 reuses the pilot batch; the scan handles chunks 1..n-1
         acc0, (logp_first, eloc_first) = chunk_fn(
@@ -964,7 +1033,8 @@ class TDVP:
         #   F0 = E[(f - m_f)(y - m_y)] = E[f y] - m_f m_y
         m_y = acc["sum_O"] / n
         m_f = acc["sum_E"] / n
-        S0 = acc["sum_OO"] / n - jnp.outer(m_y, m_y)
+        sum_OO = gram_fin(acc["sum_OO"])
+        S0 = sum_OO / n - jnp.outer(m_y, m_y)
         F0 = acc["sum_EO"] / n - m_f * m_y
         eloc_mean = m_f + c_E
         eloc_var = acc["sum_E2"] / n - m_f**2
@@ -975,11 +1045,11 @@ class TDVP:
             # Exact expansion of the weight fbar^2 = f^2 - 2 m_f f + m_f^2
             # against the accumulated raw moments (all pilot-shifted, so the
             # f32 sums stay well conditioned):
-            Efyy = acc["sum_EOO"] / n
-            Ef2yy = acc["sum_E2OO"] / n
+            Efyy = gram_fin(acc["sum_EOO"]) / n
+            Ef2yy = gram_fin(acc["sum_E2OO"]) / n
             Efy = acc["sum_EO"] / n
             Ef2y = acc["sum_E2O"] / n
-            Eyy = acc["sum_OO"] / n
+            Eyy = sum_OO / n
             M2 = Ef2yy - 2.0 * m_f * Efyy + m_f**2 * Eyy
             v2 = Ef2y - 2.0 * m_f * Efy + m_f**2 * m_y
             s2 = acc["sum_E2"] / n - m_f**2
@@ -991,7 +1061,7 @@ class TDVP:
             )
         SExp = None
         if cfg.compute_sexp:
-            El2yy = acc["sum_l2OO"] / n
+            El2yy = gram_fin(acc["sum_l2OO"]) / n
             El2y = acc["sum_l2O"] / n
             El2 = acc["sum_l2"] / n
             SExp = (
@@ -1317,7 +1387,8 @@ class TDVP:
                 O_c = O_c.astype(gdt)
                 e_c = e_c.astype(gdt)
             update, ev, snr, residual, tdvp_quad = _solve_minsr(
-                O_c, e_c, cfg, mp, sdt)
+                O_c, e_c, cfg, mp, sdt,
+                use_sym2=self._use_sym2 or self._use_tri2)
 
         # residual and TDVP error come from the kernel-space identities
         # (see _minsr_kernel_solve docstring), equivalent to the other
@@ -1395,10 +1466,16 @@ class TDVP:
         def chunk_at(i):
             return jax.lax.dynamic_index_in_dim(xs, i, 0, keepdims=False)
 
-        # pass 2: pairwise kernel blocks (G_i pinned across the inner loop)
+        # pass 2: pairwise kernel blocks (G_i pinned across the inner loop).
+        # Diagonal blocks are symmetric -> 2-pass split at the f32/'high'
+        # operating point; off-diagonal blocks have no symmetry to exploit
+        # (all three hi/lo cross terms differ), so they stay 3-pass HIGH.
+        use_s2 = self._use_sym2 or self._use_tri2
+
         def outer(i, T):
             G_i = centered_grads(chunk_at(i))
-            blk = jnp.matmul(G_i, G_i.T, precision=mp).astype(cdt)
+            blk = (stats.sym2_outer_sum(G_i) if use_s2
+                   else jnp.matmul(G_i, G_i.T, precision=mp)).astype(cdt)
             T = jax.lax.dynamic_update_slice(T, blk, (i * c, i * c))
 
             def inner(j, T):
