@@ -119,7 +119,7 @@ def mfu_report(dt, n, P, dim, gram_passes=3, peak_bf16_tflops=197.0):
     ceiling = peak_bf16_tflops / gram_passes
     log(f"roofline: {total / 1e12:.2f} TFLOP/rhs (gram {gram/1e12:.2f}, "
         f"cholesky {chol/1e12:.2f}) -> {eff:.1f} TFLOP/s f32-equiv "
-        f"= {100 * eff / ceiling:.0f}% of the {gram_passes}-pass MXU "
+        f"= {100 * eff / ceiling:.0f}% of the {gram_passes:.3g}-pass MXU "
         f"ceiling ({ceiling:.0f} TFLOP/s)")
     return eff
 
@@ -251,15 +251,14 @@ def main():
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
     # Default operating point (late round 3): N=524,288 / chunk=32,768
-    # with the triangle-blocked Gram (tri2, auto) -- measured 454,283
-    # samples/s/chip (results/bench_tri2_r3c.txt). The (N, chunk) sweep
-    # (results/bench_opsweep_r3c.txt): chunk 32k amortizes the per-chunk
-    # (P, P) accumulator traffic (8k -> 16k alone was +8%), larger N
-    # amortizes the fixed solve (131k/262k/524k -> 370/399/408k on sym2),
-    # and tri2 adds ~+10-11% at every point. Same model, physics, and
-    # metric -- batch size is a free parameter of the samples/s/chip
-    # measurement (and at d=32, 5e5 samples is a realistic production
-    # budget; the per-step latency is 1.15 s).
+    # with the triangle-blocked Gram (tri2, auto, 480-wide panels) and
+    # the split-emitting per-sample Pallas kernel -- measured 521,326
+    # samples/s/chip (results/bench_splitk2_r3d.txt; stacked gains
+    # documented in BENCHMARKS.md: opsweep +19%, tri2 +10%, split kernel
+    # +11%, panel re-pick +3%). Same model, physics, and metric -- batch
+    # size is a free parameter of the samples/s/chip measurement (and at
+    # d=32, 5e5 samples is a realistic production budget; the per-step
+    # latency is ~1 s).
     ap.add_argument("--samples", type=int, default=524288)
     ap.add_argument("--chunk", type=int, default=32768,
                     help="streaming Gram chunk size (0 = direct; the "

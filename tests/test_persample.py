@@ -126,6 +126,129 @@ def test_kernel_interpret_matches_xla(want_quad, lat, variant):
         assert q_k is None
 
 
+def test_kernel_emit_split_matches_plain():
+    """emit_split=True must reproduce the plain kernel's logp/g/quad and
+    emit (hi, lo) with hi + lo == O - shift up to the dropped sub-lo
+    residual (~2^-16 relative)."""
+    flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=12,
+                                      dtype=jnp.float32)
+    theta, unravel = score.flat_param_view(params)
+    dirs = np.eye(flow.dim, dtype=np.float32)
+    P = int(theta.size)
+    run = persample.make_per_sample_pallas(
+        flow, unravel, P, dirs, tile=4, interpret=True, template=params)
+    run_s = persample.make_per_sample_pallas(
+        flow, unravel, P, dirs, tile=4, interpret=True, template=params,
+        emit_split=True)
+
+    lp, g, q, O = run(theta, x)
+    shift = jnp.linspace(-0.5, 0.5, P, dtype=jnp.float32)
+    lp_s, g_s, q_s, (hi, lo) = run_s(theta, x, shift)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q), atol=1e-6)
+    want = np.asarray(O) - np.asarray(shift)[None, :]
+    got = (np.asarray(hi, np.float32) + np.asarray(lo, np.float32))
+    tol = 2.0**-16 * np.abs(want).max() + 1e-12
+    np.testing.assert_allclose(got, want, atol=tol)
+    # signature misuse fails loudly
+    with pytest.raises(ValueError, match="emit_split"):
+        run_s(theta, x)
+    with pytest.raises(ValueError, match="emit_split"):
+        run(theta, x, shift)
+
+
+def test_pair_stats_helpers():
+    """The pre-split-pair consumers (parallel/stats): pair_vecmat must
+    reproduce the 3-pass HIGH matvec terms, pair_colsum/pair_to_f32 the
+    reconstruction, and the pair Grams their from-f32 counterparts."""
+    from vmc_pde_tpu.parallel import stats as pstats
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((256, 130)).astype(np.float32)
+    v = rng.standard_normal(256).astype(np.float32)
+    pair = pstats._split_bf16(jnp.asarray(X))
+    hi, lo = (np.asarray(p, np.float32) for p in pair)
+
+    np.testing.assert_allclose(np.asarray(pstats.pair_to_f32(pair)),
+                               hi + lo, atol=0)
+    np.testing.assert_allclose(np.asarray(pstats.pair_colsum(pair)),
+                               (hi + lo).sum(0), rtol=1e-6, atol=1e-4)
+    # exact HIGH decomposition: v_hi@hi + v_hi@lo + v_lo@hi in f64
+    v_hi = v.astype(np.float32).astype(jnp.bfloat16).astype(np.float64)
+    v_lo = (v - v_hi).astype(jnp.bfloat16).astype(np.float64)
+    want = (v_hi @ hi.astype(np.float64) + v_hi @ lo.astype(np.float64)
+            + v_lo @ hi.astype(np.float64))
+    got = np.asarray(pstats.pair_vecmat(jnp.asarray(v), pair))
+    np.testing.assert_allclose(got, want,
+                               atol=2e-5 * np.abs(want).max())
+    # pair Grams against their from-f32 counterparts (identical split)
+    s2 = np.asarray(pstats.sym2_gram_sum(jnp.asarray(X)))
+    s2p = np.asarray(pstats.sym2_gram_sum_pair(pair))
+    np.testing.assert_allclose(s2p, s2, atol=2e-5 * np.abs(s2).max())
+    bounds = pstats.tri2_bounds(130, target_block=40)
+    t2 = np.asarray(pstats.tri2_gram_finalize(
+        pstats.tri2_gram_sum_raw(jnp.asarray(X), None, bounds), bounds))
+    t2p = np.asarray(pstats.tri2_gram_finalize(
+        pstats.tri2_gram_sum_raw_pair(pair, bounds), bounds))
+    np.testing.assert_allclose(t2p, t2, atol=2e-5 * np.abs(t2).max())
+
+
+@pytest.mark.parametrize("backend", ["sym2", "tri2"])
+def test_chunked_stats_split_kernel_matches_plain(ctx1, backend):
+    """The chunked pair branch (split-emitting kernel) must reproduce the
+    plain chunked path run with the SAME Pallas per-sample kernel: only
+    the Gram-operand plumbing differs (pre-split bf16 pair vs f32 O +
+    in-graph split), so S0/F0/A/SExp agree to the dropped sub-lo
+    residual."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    cfg = TDVPConfig(per_sample_backend="pallas", gram_backend=backend,
+                     gram_precision="high", chunk_size=512,
+                     compute_snr=True, compute_sexp=True)
+    st, t = make_problem(ctx1, dim=2, n=2048, prec=prec, cfg=cfg)
+    assert t._ps_split is not None
+
+    theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+    params = t._unravel(theta_c)
+    z = st.flow.latent_sample(jax.random.PRNGKey(5), params, 2048,
+                              dtype=prec.compute)
+    x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+    s_pair = t._chunked_stats(theta_c, 0.0, x)
+    split, t._ps_split = t._ps_split, None  # same kernel, plain plumbing
+    s_plain = t._chunked_stats(theta_c, 0.0, x)
+    t._ps_split = split
+    for key in ("S0", "A", "SExp"):
+        a = np.asarray(s_plain[key])
+        b = np.asarray(s_pair[key])
+        np.testing.assert_allclose(b, a, atol=1e-4 * np.abs(a).max(),
+                                   err_msg=key)
+    a, b = np.asarray(s_plain["F0"]), np.asarray(s_pair["F0"])
+    np.testing.assert_allclose(b, a, atol=1e-4 * np.abs(a).max() + 1e-9)
+    for key in ("logp", "eloc", "eloc_mean", "eloc_var"):
+        np.testing.assert_allclose(np.asarray(s_pair[key]),
+                                   np.asarray(s_plain[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
+
+
+def test_split_kernel_not_built_without_sym2(ctx1):
+    """The split variant only serves the sym2/tri2 Gram backends; the plain
+    xla Gram keeps the f32 O kernel alone."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    _, t = make_problem(
+        ctx1, dim=2, n=2048, prec=resolve("tpu"),
+        cfg=TDVPConfig(per_sample_backend="pallas", gram_backend="xla"))
+    assert t._ps_pallas is not None and t._ps_split is None
+
+
 def test_kernel_rejects_ragged_batch():
     flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=10,
                                       dtype=jnp.float32)

@@ -701,7 +701,8 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                            hess_dirs: Optional[np.ndarray],
                            tile: int = DEFAULT_TILE,
                            interpret: bool = False,
-                           template=None):
+                           template=None,
+                           emit_split: bool = False):
     """Build fn(theta (P,), x (N, d)) -> (logp (N,), g (N, d), quad (N,)
     or None, O (N, P)), computed tile-by-tile in one Pallas kernel.
 
@@ -710,7 +711,18 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     (CI on CPU). ``template``: the params pytree whose ravel layout
     defines theta (required). The returned O is a logical transpose of
     the kernel's (P, N) output -- XLA folds it into the consuming
-    dot_generals."""
+    dot_generals.
+
+    ``emit_split=True`` changes the signature to fn(theta, x, shift) ->
+    (logp, g, quad or None, (O_hi, O_lo)): instead of the f32 O the
+    kernel writes the bf16 hi/lo operand split of (O - shift[:, None])
+    -- exactly the decomposition the sym2/tri2 Gram backends produce
+    from f32 O (parallel/stats._split_bf16, with the chunked path's
+    pilot shift already applied). Same HBM write bytes (2x bf16 == f32),
+    but the consumer skips one full (N, P) f32 read + bf16-pair write
+    per chunk per Gram. hi + lo reconstructs O - shift up to the dropped
+    sub-lo residual (~2^-16 relative), the 2-pass Gram class's own
+    rounding floor."""
     if template is None:
         raise ValueError("make_per_sample_pallas needs the params template")
     if not interpret and tile % 128:
@@ -737,7 +749,11 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         pos = 1 + n_leaves + n_consts
         dirs_ref = refs[pos] if want_quad else None
         tp_ref = refs[pos + int(want_quad)] if is_t else None
-        logp_ref, g_ref, quad_ref, o_ref = refs[-4:]
+        if emit_split:
+            shift_ref = refs[pos + int(want_quad) + int(is_t)]
+            logp_ref, g_ref, quad_ref, o_hi_ref, o_lo_ref = refs[-5:]
+        else:
+            logp_ref, g_ref, quad_ref, o_ref = refs[-4:]
 
         kt = jax.tree_util.tree_unflatten(
             ktreedef, [r[:] for r in leaf_refs])
@@ -750,7 +766,14 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         g, slabs = _backward(kt, specs, sel, saves, saves_lat, lsel, tp)
         logp_ref[:] = logp[None, :]
         g_ref[:] = g
-        o_ref[:] = assemble_O(slabs, order)
+        if emit_split:
+            o32 = assemble_O(slabs, order) - shift_ref[:]
+            hi16 = o32.astype(jnp.bfloat16)
+            o_hi_ref[:] = hi16
+            o_lo_ref[:] = (o32 - hi16.astype(o32.dtype)).astype(
+                jnp.bfloat16)
+        else:
+            o_ref[:] = assemble_O(slabs, order)
         if want_quad:
             quad = _tile_quad(kt, specs, sel, off, X, dirs_ref[:], k_dirs,
                               tp)
@@ -768,11 +791,14 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         return pl.BlockSpec(shape, lambda i, _nd=nd: (_z,) * _nd,
                             memory_space=pltpu.VMEM)
 
-    def run(theta, x):
+    def run(theta, x, shift=None):
         n = x.shape[0]
         if n % tile:
             raise ValueError(f"sample count {n} not a multiple of the "
                              f"per-sample kernel tile {tile}")
+        if emit_split != (shift is not None):
+            raise ValueError("shift must be passed exactly when the "
+                             "kernel was built with emit_split")
         params = unravel(theta)
         kt = kernel_param_tree(flow, params)
         kleaves = jax.tree_util.tree_leaves(kt)
@@ -787,8 +813,18 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
             tp = student_t_consts(flow, params, x.dtype)
             extra.append(tp)
             extra_specs.append(full_spec(tp.shape))
+        if emit_split:
+            extra.append(jnp.reshape(shift.astype(x.dtype),
+                                     (n_params, 1)))
+            extra_specs.append(full_spec((n_params, 1)))
         grid = (n // tile,)
-        logp, g, quad, OT = pl.pallas_call(
+        o_specs = ([pl.BlockSpec((n_params, tile), lambda i: (_z, i),
+                                 memory_space=pltpu.VMEM)]
+                   * (2 if emit_split else 1))
+        o_shapes = ([jax.ShapeDtypeStruct((n_params, n), jnp.bfloat16)] * 2
+                    if emit_split
+                    else [jax.ShapeDtypeStruct((n_params, n), x.dtype)])
+        logp, g, quad, *Os = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -803,14 +839,13 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile), lambda i: (_z, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_params, tile), lambda i: (_z, i),
-                             memory_space=pltpu.VMEM),
+                *o_specs,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((1, n), x.dtype),
                 jax.ShapeDtypeStruct((dim, n), x.dtype),
                 jax.ShapeDtypeStruct((1, n), x.dtype),
-                jax.ShapeDtypeStruct((n_params, n), x.dtype),
+                *o_shapes,
             ],
             # the default scoped-vmem flag is 16 MB; the (P, m) O tile
             # plus saves need more -- raise toward physical VMEM
@@ -818,8 +853,9 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(x.T, *extra)
+        out_o = ((Os[0].T, Os[1].T) if emit_split else Os[0].T)
         return (logp[0], g.T,
-                quad[0] if want_quad else None, OT.T)
+                quad[0] if want_quad else None, out_o)
 
     return run
 

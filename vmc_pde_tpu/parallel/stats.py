@@ -134,6 +134,70 @@ def sym2_gram_sum(data, w=None):
     return m1 + m2 + m2.T
 
 
+# ---------------------------------------------------------------------------
+# Pre-split (hi, lo) pair consumers: the fused per-sample Pallas kernel can
+# emit the bf16 hi/lo operand split of its (pilot-shifted) O matrix directly
+# (kernels/persample.py emit_split), skipping the per-chunk f32 O read +
+# split write the sym2/tri2 backends otherwise pay. Pair arrays are
+# (N, P) bf16 with hi + lo == O_shifted up to the dropped sub-lo residual
+# (~2^-16 relative -- the same term the 2-pass Gram class already drops).
+# ---------------------------------------------------------------------------
+
+def pair_to_f32(pair):
+    """Reconstruct the f32 operand from the (hi, lo) pair (used by the
+    weighted Gram moments, whose sqrt(w) scaling must precede the split)."""
+    hi, lo = pair
+    return hi.astype(jnp.float32) + lo.astype(jnp.float32)
+
+
+def pair_colsum(pair):
+    """sum over the sample axis, f32 accumulation (== jnp.sum(O, 0) up to
+    the dropped sub-lo residual)."""
+    hi, lo = pair
+    return (jnp.sum(hi.astype(jnp.float32), axis=0)
+            + jnp.sum(lo.astype(jnp.float32), axis=0))
+
+
+def pair_vecmat(v, pair):
+    """v @ (hi + lo) at HIGH-equivalent numerics WITHOUT reconstructing the
+    f32 operand: HIGH's three terms for v @ O are
+
+        v_hi @ O_hi + v_hi @ O_lo + v_lo @ O_hi,
+
+    and the two O_hi terms share one MXU pass by stacking [v_hi, v_lo] into
+    a (2, N) left operand -- so the big operand is read exactly once per
+    side (hi, lo), the same HBM bytes as the fused 3-pass HIGH matvec on
+    the f32 O."""
+    vf = v.astype(jnp.float32)
+    v_hi, v_lo = _split_bf16(vf)
+    hi, lo = pair
+    r = jnp.matmul(jnp.stack([v_hi, v_lo]), hi,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+    r2 = jnp.matmul(v_hi[None, :], lo,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    return r[0] + r[1] + r2[0]
+
+
+def sym2_gram_sum_pair(pair):
+    """Unweighted sym2_gram_sum from the pre-split pair: the two MXU passes
+    read hi/lo straight from the kernel's output, no split production."""
+    hi, lo = pair
+    m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    m2 = jnp.matmul(hi.T, lo, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    return m1 + m2 + m2.T
+
+
+def tri2_gram_sum_raw_pair(pair, bounds):
+    """Unweighted tri2_gram_sum_raw from the pre-split pair (same raw
+    {"t", "m2"} parts, mirrored by tri2_gram_finalize after accumulation)."""
+    hi, lo = pair
+    return _tri2_from_split(hi, hi, lo, bounds)
+
+
 def sym2_outer_sum(data):
     """UNNORMALIZED symmetric OUTER Gram X X^T (shape (N, P) -> (N, N)) in
     two bf16 MXU passes -- sym2_gram_sum's trick in the kernel-space
@@ -152,10 +216,18 @@ def sym2_outer_sum(data):
     return m1 + m2 + m2.T
 
 
-def tri2_bounds(P, target_block=1184):
+def tri2_bounds(P, target_block=480):
     """Panel boundaries for the triangle-blocked Gram: K ~= P/target_block
     near-equal column panels. Returned as a static tuple (b_0=0, ..., b_K=P)
-    so every slice below is shape-static under jit."""
+    so every slice below is shape-static under jit.
+
+    Default panel width from the measured K sweep at the flagship shape
+    (P=9264, N=524k, split kernel; results/bench_tri2k_r3c.txt,
+    bench_splitk*_r3d.txt): throughput rises past the pure FLOP model's
+    prediction down to ~480-wide panels (K=19, 1.53 effective passes,
+    521k samples/s/chip) and flattens/turns by K=32 -- narrower panels
+    keep a larger fraction of the accumulator row-block resident while
+    the MXU M-dim stays >= 256."""
     K = max(1, round(P / target_block))
     return tuple(round(j * P / K) for j in range(K + 1))
 
@@ -191,9 +263,14 @@ def tri2_gram_sum_raw(data, w=None, bounds=None):
         x = x * jnp.sqrt(jnp.abs(wf))[:, None]
     hi, lo = _split_bf16(x)
     hs = hi if w is None else hi * jnp.sign(wf)[:, None]
-    P = x.shape[1]
     if bounds is None:
-        bounds = tri2_bounds(P)
+        bounds = tri2_bounds(x.shape[1])
+    return _tri2_from_split(hs, hi, lo, bounds)
+
+
+def _tri2_from_split(hs, hi, lo, bounds):
+    """tri2 raw parts from an already-split (hs, hi, lo) operand triple."""
+    P = hi.shape[1]
     m2 = jnp.matmul(hs.T, lo, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
     strips = []

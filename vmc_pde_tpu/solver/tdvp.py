@@ -711,6 +711,23 @@ class TDVP:
                     interpret=jax.default_backend() != "tpu",
                     template=state.params,
                 )
+        # Split-emitting kernel variant for the chunked sym2/tri2 Gram
+        # paths: writes the bf16 hi/lo operand split of the pilot-shifted
+        # O directly (same HBM bytes), so each chunk's Gram skips one
+        # (chunk, P) f32 read + bf16-pair write (kernels/persample.py
+        # emit_split; consumed by _chunked_stats' pair branch). The
+        # (P, tile) bf16 output blocks carry no P-alignment constraint:
+        # P is a full (non-tiled) block dimension, verified by an odd-P
+        # (P=62) compile+run on real TPU (sub-lo-residual-grade match).
+        self._ps_split = None
+        if (self._ps_pallas is not None and self.ctx.mesh.size == 1
+                and (self._use_sym2 or self._use_tri2)):
+            self._ps_split = persample.make_per_sample_pallas(
+                self.flow, unravel, self.n_params, self._hess_dirs,
+                tile=cfg.per_sample_tile,
+                interpret=jax.default_backend() != "tpu",
+                template=state.params, emit_split=True,
+            )
 
         # Fused MCMC sampling: the Metropolis chain loop traces INTO the
         # TDVP step programs with the chain state threaded through
@@ -789,6 +806,14 @@ class TDVP:
             )(theta_c, x)
         eloc = self.equation.eloc(x, g, hess, t)
         return logp, eloc, O
+
+    def _per_sample_batch_split(self, theta_c, x, t, shift):
+        """Split-emitting kernel path: (logp (n,), Eloc (n,),
+        (O_hi, O_lo)) with the pair the bf16 hi/lo split of (O - shift)
+        -- see the _ps_split build in __init__."""
+        logp, g, quad, pair = self._ps_split(theta_c, x, shift)
+        hess = quad if self._hess_dirs is not None else None
+        return logp, self.equation.eloc(x, g, hess, t), pair
 
     # ------------------------------------------------------------------
     # Statistics assembly (tdvp.py:36-52 + SNR second moment).
@@ -922,10 +947,20 @@ class TDVP:
         if gdt is not None:
             cdt = gdt  # chunk operands cast below; accumulators in f64
 
+        # Split-kernel fast path: the Pallas kernel emits the shifted bf16
+        # hi/lo pair directly, so every chunk's Gram skips the f32 O read
+        # + split write (see _ps_split). The f64-stats mode needs the f32
+        # O (cast to f64), so it stays on the plain path.
+        use_pair = (self._ps_split is not None and gdt is None
+                    and c % self._ps_round == 0)
+
         # Pilot estimates from the first chunk: shift constants only --
-        # exactness does not depend on them. The pilot batch is reused as
-        # the first accumulated chunk below (no recompute).
-        logp0, eloc0, O0 = self._per_sample_batch(theta_c, x[:c], t)
+        # exactness does not depend on them. On the plain path the pilot
+        # batch is reused as the first accumulated chunk below (no
+        # recompute); the pair path pilots on a small slice instead (its
+        # scan must run EVERY chunk through the shifted split kernel).
+        c_pilot = min(c, 8 * self._ps_round) if use_pair else c
+        logp0, eloc0, O0 = self._per_sample_batch(theta_c, x[:c_pilot], t)
         c_O = jax.lax.stop_gradient(jnp.mean(O0, axis=0))
         c_E = jax.lax.stop_gradient(jnp.mean(eloc0))
 
@@ -1000,6 +1035,49 @@ class TDVP:
                 upd["sum_l2OO"] = gadd(carry["sum_l2OO"], gram_sum(Os, w))
             return upd, (logp, eloc)
 
+        def chunk_fn_pair(carry, xc):
+            # Same moments as chunk_fn from the pre-split (hi, lo) pair:
+            # unweighted Gram and all matvecs consume the pair directly
+            # (stats.pair_vecmat reproduces the 3-pass HIGH matvec from
+            # two DEFAULT passes); weighted Gram moments reconstruct the
+            # f32 operand (their sqrt(w) scaling must precede the split;
+            # XLA CSEs the reconstruction across the 2-3 uses).
+            logp, eloc, pair = self._per_sample_batch_split(
+                theta_c, xc, t, c_O)
+            es = eloc - c_E
+            if self._use_tri2:
+                g0 = lambda: stats.tri2_gram_sum_raw_pair(pair, bounds)
+            else:
+                g0 = lambda: stats.sym2_gram_sum_pair(pair)
+
+            def g_w(w, signed=False):
+                return gram_sum(stats.pair_to_f32(pair), w, signed)
+
+            upd = dict(
+                sum_O=carry["sum_O"] + stats.pair_colsum(pair),
+                sum_E=carry["sum_E"] + jnp.sum(es),
+                sum_absE=carry["sum_absE"] + jnp.sum(jnp.abs(eloc)),
+                sum_E2=carry["sum_E2"] + jnp.sum(es**2),
+                sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
+                sum_EO=carry["sum_EO"] + stats.pair_vecmat(es, pair),
+                sum_OO=gadd(carry["sum_OO"], g0()),
+                sum_logp=carry["sum_logp"] + jnp.sum(logp),
+            )
+            if want_A:
+                w = es**2
+                upd["sum_E2O"] = (carry["sum_E2O"]
+                                  + stats.pair_vecmat(w, pair))
+                upd["sum_E2OO"] = gadd(carry["sum_E2OO"], g_w(w))
+                upd["sum_EOO"] = gadd(carry["sum_EOO"],
+                                      g_w(es, signed=True))
+            if cfg.compute_sexp:
+                w = logp**2
+                upd["sum_l2"] = carry["sum_l2"] + jnp.sum(w)
+                upd["sum_l2O"] = (carry["sum_l2O"]
+                                  + stats.pair_vecmat(w, pair))
+                upd["sum_l2OO"] = gadd(carry["sum_l2OO"], g_w(w))
+            return upd, (logp, eloc)
+
         zero = dict(
             sum_O=jnp.zeros((P,), cdt),
             sum_E=jnp.zeros((), cdt),
@@ -1019,14 +1097,23 @@ class TDVP:
             zero["sum_l2O"] = jnp.zeros((P,), cdt)
             zero["sum_l2OO"] = gram_zero()
 
-        # chunk 0 reuses the pilot batch; the scan handles chunks 1..n-1
-        acc0, (logp_first, eloc_first) = chunk_fn(
-            zero, None, batch=(logp0, eloc0, O0))
-        acc, (logp_rest, eloc_rest) = jax.lax.scan(
-            chunk_fn, acc0, x[c:].reshape(n_chunks - 1, c, d)
-        )
-        logp = jnp.concatenate([logp_first[None], logp_rest]).reshape(n)
-        eloc = jnp.concatenate([eloc_first[None], eloc_rest]).reshape(n)
+        if use_pair:
+            # every chunk (incl. chunk 0) through the shifted split kernel
+            acc, (logp_s, eloc_s) = jax.lax.scan(
+                chunk_fn_pair, zero, x.reshape(n_chunks, c, d))
+            logp = logp_s.reshape(n)
+            eloc = eloc_s.reshape(n)
+        else:
+            # chunk 0 reuses the pilot batch; the scan handles the rest
+            acc0, (logp_first, eloc_first) = chunk_fn(
+                zero, None, batch=(logp0, eloc0, O0))
+            acc, (logp_rest, eloc_rest) = jax.lax.scan(
+                chunk_fn, acc0, x[c:].reshape(n_chunks - 1, c, d)
+            )
+            logp = jnp.concatenate(
+                [logp_first[None], logp_rest]).reshape(n)
+            eloc = jnp.concatenate(
+                [eloc_first[None], eloc_rest]).reshape(n)
 
         # Un-shift. With y = O - c_O, f = E - c_E:
         #   m_y = E[y],  S0 = E[y^T y] - m_y^T m_y  (shift cancels exactly)
