@@ -250,17 +250,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
-    # Default operating point (late round 3): N=524,288 / chunk=32,768
+    # Default operating point (late round 3): N=524,288 / chunk=65,536
     # with the triangle-blocked Gram (tri2, auto, 480-wide panels) and
-    # the split-emitting per-sample Pallas kernel -- measured 521,326
-    # samples/s/chip (results/bench_splitk2_r3d.txt; stacked gains
+    # the split-emitting per-sample Pallas kernel -- measured ~534k
+    # samples/s/chip (results/bench_op2_r3d.txt; stacked gains
     # documented in BENCHMARKS.md: opsweep +19%, tri2 +10%, split kernel
-    # +11%, panel re-pick +3%). Same model, physics, and metric -- batch
-    # size is a free parameter of the samples/s/chip measurement (and at
-    # d=32, 5e5 samples is a realistic production budget; the per-step
-    # latency is ~1 s).
+    # +11%, panel re-pick +3%, chunk 65k +2%). The N sweep keeps
+    # climbing slowly toward ~550k at N=1-2M (bench_op3_r3d.txt) but
+    # doubles per-step latency each time; 5e5 samples at ~1 s/RHS is the
+    # realistic production point. Same model, physics, and metric --
+    # batch size is a free parameter of the samples/s/chip measurement.
     ap.add_argument("--samples", type=int, default=524288)
-    ap.add_argument("--chunk", type=int, default=32768,
+    ap.add_argument("--chunk", type=int, default=65536,
                     help="streaming Gram chunk size (0 = direct; the "
                          "auto gram backend picks the triangle-blocked "
                          "2-pass split (tri2) on single-device TPU "

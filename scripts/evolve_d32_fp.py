@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=8,
                     help="steps per fused dispatch")
     ap.add_argument("--dt", type=float, default=2e-3)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="streaming Gram chunk size (0 = direct; the "
+                         "headline operating point is --n 524288 "
+                         "--chunk 65536, which engages the tri2 + "
+                         "split-kernel pair path)")
     ap.add_argument("--temperature", type=float, default=10.0)
     ap.add_argument("--precision", type=str, default="tpu")
     ap.add_argument("--aot-dir", type=str, default=None)
@@ -64,6 +69,7 @@ def main(argv=None):
         variant="affine", latent_name="Gauss",
         dt0=args.dt, max_step=args.dt, t_end=args.dt * (args.steps + 1),
         n_samples_tdvp=args.n, n_samples_obs=args.n,
+        chunk_size=args.chunk,
         precision=args.precision, verbose=False,
         steps_per_dispatch=args.k, aot_dir=args.aot_dir,
     )
