@@ -714,8 +714,11 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     dot_generals.
 
     ``emit_split=True`` changes the signature to fn(theta, x, shift) ->
-    (logp, g, quad or None, (O_hi, O_lo)): instead of the f32 O the
-    kernel writes the bf16 hi/lo operand split of (O - shift[:, None])
+    (logp, g, quad or None, (O_hi, O_lo), colsum (P,)): instead of the
+    f32 O the kernel writes the bf16 hi/lo operand split of
+    (O - shift[:, None]), plus the column sums of the shifted O
+    (grid-accumulated f32 -- summed BEFORE the split, and saving the
+    consumer one full pair read)
     -- exactly the decomposition the sym2/tri2 Gram backends produce
     from f32 O (parallel/stats._split_bf16, with the chunked path's
     pilot shift already applied). Same HBM write bytes (2x bf16 == f32),
@@ -751,7 +754,8 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         tp_ref = refs[pos + int(want_quad)] if is_t else None
         if emit_split:
             shift_ref = refs[pos + int(want_quad) + int(is_t)]
-            logp_ref, g_ref, quad_ref, o_hi_ref, o_lo_ref = refs[-5:]
+            (logp_ref, g_ref, quad_ref, o_hi_ref, o_lo_ref,
+             o_sum_ref) = refs[-6:]
         else:
             logp_ref, g_ref, quad_ref, o_ref = refs[-4:]
 
@@ -772,6 +776,20 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
             o_hi_ref[:] = hi16
             o_lo_ref[:] = (o32 - hi16.astype(o32.dtype)).astype(
                 jnp.bfloat16)
+            # column sums of the shifted O, accumulated across the
+            # sample-tile grid into one (P, 1) output (constant index
+            # map; TPU grids run sequentially) -- saves the consumer a
+            # full read of the pair, and sums the f32 values BEFORE the
+            # bf16 split
+            osum = jnp.sum(o32, axis=1, keepdims=True).astype(jnp.float32)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                o_sum_ref[:] = osum
+
+            @pl.when(pl.program_id(0) != 0)
+            def _acc():
+                o_sum_ref[:] += osum
         else:
             o_ref[:] = assemble_O(slabs, order)
         if want_quad:
@@ -818,12 +836,18 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                                      (n_params, 1)))
             extra_specs.append(full_spec((n_params, 1)))
         grid = (n // tile,)
-        o_specs = ([pl.BlockSpec((n_params, tile), lambda i: (_z, i),
-                                 memory_space=pltpu.VMEM)]
-                   * (2 if emit_split else 1))
-        o_shapes = ([jax.ShapeDtypeStruct((n_params, n), jnp.bfloat16)] * 2
-                    if emit_split
-                    else [jax.ShapeDtypeStruct((n_params, n), x.dtype)])
+        if emit_split:
+            o_specs = [pl.BlockSpec((n_params, tile), lambda i: (_z, i),
+                                    memory_space=pltpu.VMEM)] * 2
+            o_specs.append(pl.BlockSpec((n_params, 1), lambda i: (_z, _z),
+                                        memory_space=pltpu.VMEM))
+            o_shapes = [jax.ShapeDtypeStruct((n_params, n), jnp.bfloat16)] * 2
+            o_shapes.append(jax.ShapeDtypeStruct((n_params, 1),
+                                                 jnp.float32))
+        else:
+            o_specs = [pl.BlockSpec((n_params, tile), lambda i: (_z, i),
+                                    memory_space=pltpu.VMEM)]
+            o_shapes = [jax.ShapeDtypeStruct((n_params, n), x.dtype)]
         logp, g, quad, *Os = pl.pallas_call(
             kernel,
             grid=grid,
@@ -853,9 +877,11 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(x.T, *extra)
-        out_o = ((Os[0].T, Os[1].T) if emit_split else Os[0].T)
+        if emit_split:
+            return (logp[0], g.T, quad[0] if want_quad else None,
+                    (Os[0].T, Os[1].T), Os[2][:, 0])
         return (logp[0], g.T,
-                quad[0] if want_quad else None, out_o)
+                quad[0] if want_quad else None, Os[0].T)
 
     return run
 

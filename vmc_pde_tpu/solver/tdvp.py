@@ -809,11 +809,12 @@ class TDVP:
 
     def _per_sample_batch_split(self, theta_c, x, t, shift):
         """Split-emitting kernel path: (logp (n,), Eloc (n,),
-        (O_hi, O_lo)) with the pair the bf16 hi/lo split of (O - shift)
-        -- see the _ps_split build in __init__."""
-        logp, g, quad, pair = self._ps_split(theta_c, x, shift)
+        (O_hi, O_lo), colsum (P,)) with the pair the bf16 hi/lo split of
+        (O - shift) and colsum its in-kernel column sums -- see the
+        _ps_split build in __init__."""
+        logp, g, quad, pair, colsum = self._ps_split(theta_c, x, shift)
         hess = quad if self._hess_dirs is not None else None
-        return logp, self.equation.eloc(x, g, hess, t), pair
+        return logp, self.equation.eloc(x, g, hess, t), pair, colsum
 
     # ------------------------------------------------------------------
     # Statistics assembly (tdvp.py:36-52 + SNR second moment).
@@ -978,8 +979,14 @@ class TDVP:
             bounds = stats.tri2_bounds(P)
             gram_sum = lambda Os, w=None, signed=False: \
                 stats.tri2_gram_sum_raw(Os, w, bounds)
-            gram_zero = lambda: dict(t=jnp.zeros((P, P), cdt),
-                                     m2=jnp.zeros((P, P), cdt))
+            # unpadded strip pytree (stats._tri2_from_split): the scan
+            # carry adds K small triangle blocks per chunk, not a padded
+            # (P, P) matrix
+            gram_zero = lambda: dict(
+                t=tuple(jnp.zeros((bounds[i + 1] - bounds[i],
+                                   bounds[i + 1]), cdt)
+                        for i in range(len(bounds) - 1)),
+                m2=jnp.zeros((P, P), cdt))
             gram_fin = partial(stats.tri2_gram_finalize, bounds=bounds)
         elif self._use_syrk:
             # triangle kernel: unnormalized chunk sums Os^T diag(w) Os
@@ -1042,7 +1049,7 @@ class TDVP:
             # two DEFAULT passes); weighted Gram moments reconstruct the
             # f32 operand (their sqrt(w) scaling must precede the split;
             # XLA CSEs the reconstruction across the 2-3 uses).
-            logp, eloc, pair = self._per_sample_batch_split(
+            logp, eloc, pair, colsum = self._per_sample_batch_split(
                 theta_c, xc, t, c_O)
             es = eloc - c_E
             if self._use_tri2:
@@ -1054,7 +1061,7 @@ class TDVP:
                 return gram_sum(stats.pair_to_f32(pair), w, signed)
 
             upd = dict(
-                sum_O=carry["sum_O"] + stats.pair_colsum(pair),
+                sum_O=carry["sum_O"] + colsum,
                 sum_E=carry["sum_E"] + jnp.sum(es),
                 sum_absE=carry["sum_absE"] + jnp.sum(jnp.abs(eloc)),
                 sum_E2=carry["sum_E2"] + jnp.sum(es**2),
