@@ -858,6 +858,32 @@ def test_sexp_matfree_matches_dense(ctx1):
     assert "SExp" not in a_m and not tm.cfg.compute_sexp
 
 
+def test_sexp_matfree_weighted_matches_dense(ctx1):
+    """Under IS tempering (is_gamma < 1) the matrix-free S-metric must
+    reproduce v^T SExp v of the dense SELF-NORMALIZED WEIGHTED SExp
+    (gram(w * logp^2) with w-centered O) on identical tempered draws --
+    the round-3 review fix: _sexp_quad previously dropped the weights,
+    biasing the adaptive error norm toward the tail-tempered proposal."""
+    cfg_d = TDVPConfig(sexp_mode="dense", is_gamma=0.6)
+    cfg_m = TDVPConfig(sexp_mode="matfree", is_gamma=0.6)
+    st, td = make_problem(ctx1, dim=3, n=2048, latent_name="Student_t",
+                          cfg=cfg_d)
+    _, tm = make_problem(ctx1, dim=3, n=2048, latent_name="Student_t",
+                         cfg=cfg_m)
+    theta = st.get_parameters()
+    key = jax.random.PRNGKey(7)
+    _, a_d = td.rhs(theta, 0.0, key)
+    _, a_m = tm.rhs(theta, 0.0, key)  # same key -> identical tempered draws
+    S = np.asarray(a_d["SExp"], dtype=np.float64)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        v = rng.normal(size=S.shape[0]) * 1e-3
+        dense = float(v @ S @ v)
+        mf = float(tm.sexp_norm(v))
+        np.testing.assert_allclose(mf, dense, rtol=1e-8)
+    assert "SExp" not in a_m
+
+
 def test_is_tempering_weights_and_stats(ctx1):
     """Tail-tempered IS (cfg.is_gamma, round-3 Student-t item): (a) the
     latent-level importance weights are bounded and reproduce target

@@ -210,8 +210,6 @@ def metropolis_chain_pallas_sharded(
     sharded run replays bit-identically to the single-device kernel fed
     the same uniforms (tests/test_kernels.py). Same returns/ordering as
     metropolis_chain_pallas (sweep-major rows)."""
-    from jax.sharding import PartitionSpec as P
-
     init_states = jnp.asarray(init_states, dtype=jnp.float32)
     n_chains, dim = init_states.shape
     dp = ctx.dp_size
@@ -228,7 +226,6 @@ def metropolis_chain_pallas_sharded(
         np.asarray(offset, dtype=np.float32).reshape(dim, 1))
     K = SWEEPS_PER_BLOCK
     n_steps = ((int(n_steps) + K - 1) // K) * K
-    n_blocks = n_steps // K
     ext = uniforms is not None
     smap = _build_sharded_call(ctx.mesh, log_prob, n_steps, local, dim,
                                float(bound), K, interpret, ext)

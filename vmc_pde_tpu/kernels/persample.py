@@ -43,9 +43,11 @@ compile failure, see git history):
   EXACT inverse factor: U = D(I - B) with B nilpotent, so
   U^{-1} = (sum_{k<dim} B^k) D^{-1}, summed in log2(dim) doubling steps.
 - Static coordinate split/merge (coupling.py's ``x[ind_up]`` gathers and
-  inverse-perm regather) are matmuls with static 0/1 selection matrices
-  at Precision.HIGHEST, passed as kernel inputs (Mosaic cannot
-  materialize captured array constants).
+  inverse-perm regather) are matmuls with static 0/1 selection matrices,
+  passed as kernel inputs (Mosaic cannot materialize captured array
+  constants). The selection matmuls run through the 2-pass hi/lo split
+  (``_mm_split``, ~2^-16 relative -- the in-kernel ~Precision.HIGH
+  stand-in); only the dense latent factor W stays HIGHEST.
 - Index-map int literals are i32 (under x64 a literal 0 traces as i64
   and the mixed return fails 'func.return' legalization); the scoped
   VMEM limit is raised via CompilerParams (the 16 MB default is a

@@ -372,11 +372,13 @@ def _minsr_kernel_solve(T, e_c, cfg: TDVPConfig, sdt):
     tiny = jnp.finfo(sdt).tiny
 
     def q(v):
-        return jnp.maximum(v @ jnp.matmul(T_s, v, precision=_HI), 0.0)
+        return jnp.maximum(
+            jnp.dot(v, jnp.matmul(T_s, v, precision=_HI), precision=_HI),
+            0.0)
 
     residual = jnp.sqrt(q(Ta - e_s) / jnp.maximum(q(e_s), tiny))
-    u_S_u = (Ta @ Ta) / n
-    F_u = (e_s @ Ta) / n
+    u_S_u = jnp.dot(Ta, Ta, precision=_HI) / n
+    F_u = jnp.dot(e_s, Ta, precision=_HI) / n
     tdvp_quad = u_S_u - 2.0 * F_u
     return alpha, ev, snr, residual, tdvp_quad
 
@@ -1352,6 +1354,11 @@ class TDVP:
             aux["SExp"] = st["SExp"]
         if self._sexp_matfree:
             aux["_x"], aux["_logp"] = x, st["logp"]
+            # IS tempering: sexp_norm must see the same self-normalized
+            # weights the dense SExp carries (gram(w * logp^2)); zeros
+            # reduce to the unweighted estimator exactly (w = exp(0) = 1)
+            aux["_logw"] = (log_w if log_w is not None
+                            else jnp.zeros_like(st["logp"]))
 
         # OBSERVABLES on the (possibly larger) observable budget
         # (tdvp.py:130-134: resample only when n_obs > n). IS mode always
@@ -1413,6 +1420,8 @@ class TDVP:
         )
         if self._sexp_matfree:
             aux["_x"], aux["_logp"] = x, logp
+            # cg/minsr reject is_gamma (validation above): unweighted
+            aux["_logw"] = jnp.zeros_like(logp)
 
         aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
                              z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
@@ -1499,6 +1508,8 @@ class TDVP:
         )
         if self._sexp_matfree:
             aux["_x"], aux["_logp"] = x, logp
+            # cg/minsr reject is_gamma (validation above): unweighted
+            aux["_logw"] = jnp.zeros_like(logp)
         aux = self._obs_tail(aux, x, logp, params, k_obs, k_int,
                              z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
         self._mcmc_finish(aux, mcmc)
@@ -1635,7 +1646,8 @@ class TDVP:
             # integrator's final stage call this IS the last stage, matching
             # the dense path's f.SExp semantics (stepper.py:71)
             aux = dict(aux)
-            self._sexp_ctx = (theta_c, aux.pop("_x"), aux.pop("_logp"))
+            self._sexp_ctx = (theta_c, aux.pop("_x"), aux.pop("_logp"),
+                              aux.pop("_logw"))
 
         if not self.cfg.solve_on_device:
             aux = dict(aux)
@@ -1699,6 +1711,7 @@ class TDVP:
         # return (or scan-stack) the (N, d) sample arrays from fixed steps
         aux.pop("_x", None)
         aux.pop("_logp", None)
+        aux.pop("_logw", None)
         cs = self._chain_handoff(aux)
         # the predictor stage's observables are never recorded (Q10):
         # skip its n_obs entropy/moment pass entirely
@@ -1726,6 +1739,7 @@ class TDVP:
         aux = dict(aux)
         aux.pop("_x", None)
         aux.pop("_logp", None)
+        aux.pop("_logw", None)
         cs = self._chain_handoff(aux)
         k1, a1 = self._stage(theta_c + dt * k0, t + dt, key, 1, n, n_obs,
                              with_obs=False, chain_state=cs,
@@ -1788,6 +1802,7 @@ class TDVP:
                        | aux_last["nan"])
         aux0.pop("_x", None)
         aux0.pop("_logp", None)
+        aux0.pop("_logw", None)
         diff = dy1 - dy0
         sexp = aux_last.get("SExp")
         if sexp is not None:
@@ -1799,7 +1814,7 @@ class TDVP:
             # matrix-free S-metric on the LAST stage's samples at its own
             # parameter point y3 -- same semantics as the dense SExp
             err = self._sexp_quad(y3, aux_last["_x"], aux_last["_logp"],
-                                  diff)
+                                  aux_last["_logw"], diff)
         else:
             err = jnp.linalg.norm(diff)
         return dy1, err, aux0
@@ -1839,6 +1854,7 @@ class TDVP:
                        | aux_last["nan"])
         aux0.pop("_x", None)
         aux0.pop("_logp", None)
+        aux0.pop("_logw", None)
         diff = dy3 - dy2
         sexp = aux_last.get("SExp")
         if sexp is not None:
@@ -1848,7 +1864,7 @@ class TDVP:
                                  precision=jax.lax.Precision.HIGHEST)
         elif self._sexp_matfree:
             err = self._sexp_quad(y3, aux_last["_x"], aux_last["_logp"],
-                                  diff)
+                                  aux_last["_logw"], diff)
         else:
             err = jnp.linalg.norm(diff)
         return dy3, err, aux0
@@ -2346,7 +2362,7 @@ class TDVP:
     # per stage. This unlocks adaptive stepping for the large-P solver
     # strategies (cholesky/cg/minsr) the driver previously rejected.
     # ------------------------------------------------------------------
-    def _sexp_quad(self, theta_c, x, logp, v):
+    def _sexp_quad(self, theta_c, x, logp, log_w, v):
         f = self._log_prob_flat
 
         def batch_logp(th):
@@ -2356,8 +2372,13 @@ class TDVP:
                        (jnp.asarray(v, theta_c.dtype),))
         sdt = self.precision.solve
         a = a.astype(sdt)
-        a = a - jnp.mean(a)
-        return jnp.mean(logp.astype(sdt) ** 2 * a**2)
+        # self-normalized IS weights, matching the dense SExp =
+        # gram(w * logp^2) with w-weighted centering (_direct_stats);
+        # log_w == 0 gives w == 1 exactly (the unweighted estimator)
+        w = jnp.exp(log_w.astype(sdt) - jnp.max(log_w.astype(sdt)))
+        w = w / jnp.mean(w)
+        a = a - jnp.mean(w * a)
+        return jnp.mean(w * logp.astype(sdt) ** 2 * a**2)
 
     def sexp_norm(self, v):
         """Host-facing matrix-free S-metric against the LAST rhs() call's
@@ -2367,8 +2388,8 @@ class TDVP:
         if self._sexp_ctx is None:
             raise RuntimeError("sexp_norm needs a prior rhs() call with "
                                "sexp_mode matfree")
-        theta_c, x, logp = self._sexp_ctx
+        theta_c, x, logp, log_w = self._sexp_ctx
         if self._sexp_quad_jit is None:
             self._sexp_quad_jit = jax.jit(self._sexp_quad)
-        return self._sexp_quad_jit(theta_c, x, logp,
+        return self._sexp_quad_jit(theta_c, x, logp, log_w,
                                    jnp.asarray(v, theta_c.dtype))
