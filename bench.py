@@ -41,7 +41,8 @@ def log(*a):
 
 
 def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
-          solver="auto", gram_precision="high", gram_backend="auto"):
+          solver="auto", gram_precision="high", gram_backend="auto",
+          gram_cross="auto"):
     import jax.numpy as jnp
 
     from vmc_pde_tpu.models.flow import build_flow
@@ -63,7 +64,8 @@ def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
                 TDVPConfig(compute_snr=False, observables=False,
                            chunk_size=chunk, solver_method=solver,
                            gram_precision=gram_precision,
-                           gram_backend=gram_backend),
+                           gram_backend=gram_backend,
+                           gram_cross=gram_cross),
                 n_samples=n_samples, n_samples_obs=n_samples, precision=prec)
     return state, tdvp
 
@@ -275,6 +277,10 @@ def main():
                          "mesh; tri2 = triangle-blocked sym2, single-"
                          "device, ~1.56 passes -- 'auto' picks it at the "
                          "headline shape; syrk = triangle Pallas kernel)")
+    ap.add_argument("--gram-cross", type=str, default="auto",
+                    choices=["auto", "bf16", "int8"],
+                    help="MXU engine for the split backends' cross pass "
+                         "(int8 = per-column-quantized, 2x the bf16 rate)")
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky", "cg", "minsr"])
     ap.add_argument("--quick", action="store_true",
@@ -333,12 +339,14 @@ def main():
     state, tdvp = build(args.dim, args.depth, args.samples,
                         chunk=args.chunk, solver=args.solver,
                         gram_precision=args.gram_precision,
-                        gram_backend=args.gram_backend)
+                        gram_backend=args.gram_backend,
+                        gram_cross=args.gram_cross)
     backend = ("syrk" if tdvp._use_syrk
                else "tri2" if tdvp._use_tri2
                else "sym2" if tdvp._use_sym2 else "xla")
     log(f"solver={tdvp.solver_method} chunk={args.chunk} "
-        f"gram={args.gram_precision} backend={backend}")
+        f"gram={args.gram_precision} backend={backend} "
+        f"cross={'int8' if tdvp._cross_int8 else 'bf16'}")
     log(f"dim={args.dim} n_params={state.numParameters} "
         f"n_samples={tdvp.n_samples}")
 

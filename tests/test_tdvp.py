@@ -562,6 +562,118 @@ def test_tri2_gram_identity():
                                        atol=1e-5 * np.abs(got).max())
 
 
+def test_int8_cross_identity():
+    """Unit check of the int8 cross pass: sym2/tri2 with cross_int8=True
+    must agree with the f64 Gram at the split's own numerics class (the
+    int8 quantization error of the ~2^-8-scale cross term sits below the
+    dropped lo@lo term), for unweighted / nonnegative / SIGNED weights,
+    with exact symmetry of the assembled result."""
+    from vmc_pde_tpu.parallel import stats as pstats
+
+    rng = np.random.default_rng(3)
+    P = 131
+    X = rng.standard_normal((512, P)).astype(np.float32)
+    X *= np.exp(np.linspace(-3, 3, P))[None, :].astype(np.float32)
+    w = (rng.random(512) + 0.1).astype(np.float32)
+    ws = rng.standard_normal(512).astype(np.float32)
+    ws[:5] = 0.0
+    bounds = pstats.tri2_bounds(P, target_block=40)
+    for ww in (None, w, ws):
+        ref = X.astype(np.float64).T @ (
+            X if ww is None else X * ww[:, None]).astype(np.float64)
+        jw = None if ww is None else jnp.asarray(ww)
+        tol = 2e-3 * np.abs(ref).max()
+        got_s = np.asarray(pstats.sym2_gram_sum(jnp.asarray(X), jw,
+                                                cross_int8=True))
+        np.testing.assert_allclose(got_s, ref, atol=tol)
+        np.testing.assert_allclose(got_s, got_s.T,
+                                   atol=1e-5 * np.abs(got_s).max())
+        got_t = np.asarray(pstats.tri2_gram_finalize(
+            pstats.tri2_gram_sum_raw(jnp.asarray(X), jw, bounds,
+                                     cross_int8=True), bounds))
+        np.testing.assert_allclose(got_t, ref, atol=tol)
+        # the int8 cross error must stay in the class of the term the
+        # split already drops: compare against the bf16-cross result,
+        # normalized by the split OPERAND's column norms (the ref diag
+        # is near-zero under signed weights and is the wrong scale)
+        got_b = np.asarray(pstats.sym2_gram_sum(jnp.asarray(X), jw))
+        Xw = X if ww is None else X * np.sqrt(np.abs(ww))[:, None]
+        cn = np.linalg.norm(Xw, axis=0)
+        scale = np.maximum(np.outer(cn, cn), 1e-30)
+        assert np.max(np.abs(got_s - got_b) / scale) < 3e-5
+
+
+def test_int8_cross_fallback_and_dispatch():
+    """The int8 request must actually lower to an int8 dot_general at
+    in-bound contraction lengths and fall back to the bf16 pass beyond
+    the exact-int32-accumulation bound (N > 131,072)."""
+    from vmc_pde_tpu.parallel import stats as pstats
+
+    a = jnp.ones((64, 8), jnp.bfloat16)
+    b = jnp.ones((64, 8), jnp.bfloat16)
+    jx8 = str(jax.make_jaxpr(
+        lambda x, y: pstats._cross_sum(x, y, int8=True))(a, b))
+    assert "int8" in jx8
+    jxb = str(jax.make_jaxpr(
+        lambda x, y: pstats._cross_sum(x, y, int8=False))(a, b))
+    assert "int8" not in jxb
+    # beyond the bound: trace-time fallback, no int8 in the program
+    big = jax.ShapeDtypeStruct((pstats._INT8_CROSS_N_MAX + 1, 4),
+                               jnp.bfloat16)
+    jbig = str(jax.make_jaxpr(
+        lambda x, y: pstats._cross_sum(x, y, int8=True))(big, big))
+    assert "int8" not in jbig
+    # numeric spot check of the in-bounds path: lossless when the column
+    # amax is exactly 127 (scale = 1, integer values quantize exactly)
+    av = jnp.asarray(np.arange(-127, 129, 4)[:, None] * np.ones((1, 8)),
+                     jnp.bfloat16)
+    got = pstats._cross_sum(av, av, int8=True)
+    ref = np.asarray(av, np.float64).T @ np.asarray(av, np.float64)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
+
+
+def test_gram_cross_int8_matches_bf16(ctx1):
+    """TDVP statistics with gram_cross='int8' must reproduce the bf16
+    split statistics -- S0, A, SExp, F0 -- on identical samples, direct
+    and chunked, including the solve downstream (the residual bar is the
+    same class as the sym2-vs-xla test). Also pins the config validation:
+    int8 on a no-cross backend is rejected."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    kw = dict(compute_snr=True, compute_sexp=True, gram_precision="high")
+    for chunk in (0, 512):
+        cfg_b = TDVPConfig(gram_backend="sym2", chunk_size=chunk, **kw)
+        cfg_i = TDVPConfig(gram_backend="sym2", gram_cross="int8",
+                           chunk_size=chunk, **kw)
+        st, t_b = make_problem(ctx1, dim=2, n=2048, cfg=cfg_b, prec=prec)
+        _, t_i = make_problem(ctx1, dim=2, n=2048, cfg=cfg_i, prec=prec)
+        assert t_i._cross_int8 and not t_b._cross_int8
+
+        theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+        params = t_b._unravel(theta_c)
+        z = st.flow.latent_sample(jax.random.PRNGKey(5), params, 2048,
+                                  dtype=prec.compute)
+        x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+        stats_fn = "_chunked_stats" if chunk else "_direct_stats"
+        s_b = getattr(t_b, stats_fn)(theta_c, 0.0, x)
+        s_i = getattr(t_i, stats_fn)(theta_c, 0.0, x)
+        for key in ("S0", "A", "SExp"):
+            a, b = np.asarray(s_b[key]), np.asarray(s_i[key])
+            np.testing.assert_allclose(
+                b, a, atol=5e-5 * np.abs(a).max(),
+                err_msg=f"{key} (chunk={chunk})")
+        np.testing.assert_allclose(np.asarray(s_i["F0"]),
+                                   np.asarray(s_b["F0"]), rtol=1e-5,
+                                   atol=1e-8)
+
+    with pytest.raises(ValueError, match="gram_cross"):
+        make_problem(ctx1, dim=2, n=512,
+                     cfg=TDVPConfig(gram_backend="xla", gram_cross="int8",
+                                    gram_precision="high"), prec=prec)
+
+
 def test_sym2_outer_sum_identity():
     """Kernel-space orientation of the 2-pass split (minSR's T = G G^T):
     agreement with the f64 outer Gram at the bf16-split class, exact

@@ -78,6 +78,7 @@ def build_problem(cfg: RunConfig):
         eigh_max_params=cfg.eigh_max_params,
         gram_precision=cfg.gram_precision,
         gram_backend=cfg.gram_backend,
+        gram_cross=cfg.gram_cross,
         per_sample_backend=cfg.per_sample_backend,
         per_sample_tile=cfg.per_sample_tile,
         hessian_mode=cfg.hessian_mode,
@@ -531,6 +532,11 @@ def main(argv=None):
                         "symmetric hi/lo split, any mesh, chunk-safe; "
                         "tri2 = triangle-blocked sym2, single-device, "
                         "~1.56 passes)")
+    p.add_argument("--gram-cross", type=str, default=None,
+                   choices=["auto", "bf16", "int8"],
+                   help="MXU engine for the sym2/tri2 cross pass (int8 = "
+                        "per-column-quantized int8 matmul at 2x the bf16 "
+                        "rate; error below the split's dropped lo@lo term)")
     p.add_argument("--per-sample-backend", type=str, default=None,
                    choices=["auto", "xla", "pallas"],
                    help="per-sample pipeline backend (pallas = fused "
@@ -613,6 +619,8 @@ def main(argv=None):
         overrides["gram_precision"] = args.gram_precision
     if args.gram_backend is not None:
         overrides["gram_backend"] = args.gram_backend
+    if args.gram_cross is not None:
+        overrides["gram_cross"] = args.gram_cross
     if args.per_sample_backend is not None:
         overrides["per_sample_backend"] = args.per_sample_backend
     if args.hessian_mode is not None:

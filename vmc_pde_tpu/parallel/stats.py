@@ -96,7 +96,51 @@ def _split_bf16(x):
     return hi, lo
 
 
-def sym2_gram_sum(data, w=None):
+# Exact-int32-accumulation bound for the int8 cross term: with |q| <= 127
+# the worst-case partial sum over the contraction axis is N * 127^2, which
+# must stay below 2^31 - 1 => N <= 133152; rounded down to the power-of-two
+# friendly 131072 (131072 * 127^2 = 2.114e9 < 2.147e9). Beyond this the
+# int8 request silently falls back to the bf16 pass (shapes are static
+# under jit, so the branch is trace-time).
+_INT8_CROSS_N_MAX = 131072
+
+
+def _quant_cols_int8(x):
+    """Per-column symmetric int8 quantization: x == scale * q + err with
+    |err| <= scale/2 elementwise, scale = colmax(|x|)/127 (1.0 for zero
+    columns). round-half-even after the divide cannot exceed 127 since
+    |x|/scale <= 127 exactly; the clip guards f32 divide rounding."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=0)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cross_sum(a, b, int8=False):
+    """The hi/lo cross term a^T @ b -> f32 (the full-pass, unsymmetric term
+    of the 2-pass Gram split).
+
+    Default: one bf16 MXU pass. ``int8=True`` requests the int8 MXU path
+    (2x the bf16 rate on TPU): per-column scales factor EXACTLY out of the
+    contraction -- a[:, p] = s_p a8[:, p], b[:, q] = t_q b8[:, q] gives
+    a^T b = diag(s) (a8^T b8) diag(t) -- and the cross term is itself a
+    ~2^-8-relative correction to the hi@hi term, so its int8 quantization
+    error (~2^-15 of the Gram scale, measured 8.4e-7 vs the 2.8e-6 dropped
+    lo@lo term at the headline shape; scripts/bench_int8.py) sits below
+    the numerics class the split already accepts. Falls back to bf16 when
+    exact int32 accumulation is not guaranteed (N > _INT8_CROSS_N_MAX)."""
+    if int8 and a.shape[0] <= _INT8_CROSS_N_MAX:
+        a8, sa = _quant_cols_int8(a)
+        b8, sb = _quant_cols_int8(b)
+        m = jax.lax.dot_general(a8, b8, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return m.astype(jnp.float32) * sa[:, None] * sb[None, :]
+    return jnp.matmul(a.T, b, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+
+
+def sym2_gram_sum(data, w=None, cross_int8=False):
     """UNNORMALIZED symmetric Gram X^T diag(w) X (shape (N, P) -> (P, P),
     ``w`` None or any-signed) in TWO bf16 MXU passes instead of XLA
     HIGH's three.
@@ -120,7 +164,8 @@ def sym2_gram_sum(data, w=None):
     weights (used by the chunked path's sum_EOO moment, whose weight is
     the centered Eloc). f32 data only. Sharding-transparent: both matmuls
     are ordinary dot_generals, so the dp-sharded sample contraction still
-    lowers to on-fabric collectives under the enclosing jit."""
+    lowers to on-fabric collectives under the enclosing jit.
+    ``cross_int8`` runs the cross pass on the int8 MXU (see _cross_sum)."""
     x = data.astype(jnp.float32)
     if w is not None:
         wf = w.astype(jnp.float32)
@@ -129,8 +174,7 @@ def sym2_gram_sum(data, w=None):
     hs = hi if w is None else hi * jnp.sign(wf)[:, None]
     m1 = jnp.matmul(hs.T, hi, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    m2 = jnp.matmul(hs.T, lo, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
+    m2 = _cross_sum(hs, lo, int8=cross_int8)
     return m1 + m2 + m2.T
 
 
@@ -180,22 +224,21 @@ def pair_vecmat(v, pair):
     return r[0] + r[1] + r2[0]
 
 
-def sym2_gram_sum_pair(pair):
+def sym2_gram_sum_pair(pair, cross_int8=False):
     """Unweighted sym2_gram_sum from the pre-split pair: the two MXU passes
     read hi/lo straight from the kernel's output, no split production."""
     hi, lo = pair
     m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    m2 = jnp.matmul(hi.T, lo, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
+    m2 = _cross_sum(hi, lo, int8=cross_int8)
     return m1 + m2 + m2.T
 
 
-def tri2_gram_sum_raw_pair(pair, bounds):
+def tri2_gram_sum_raw_pair(pair, bounds, cross_int8=False):
     """Unweighted tri2_gram_sum_raw from the pre-split pair (same raw
     {"t", "m2"} parts, mirrored by tri2_gram_finalize after accumulation)."""
     hi, lo = pair
-    return _tri2_from_split(hi, hi, lo, bounds)
+    return _tri2_from_split(hi, hi, lo, bounds, cross_int8=cross_int8)
 
 
 def sym2_outer_sum(data):
@@ -232,7 +275,7 @@ def tri2_bounds(P, target_block=480):
     return tuple(round(j * P / K) for j in range(K + 1))
 
 
-def tri2_gram_sum_raw(data, w=None, bounds=None):
+def tri2_gram_sum_raw(data, w=None, bounds=None, cross_int8=False):
     """Triangle-blocked 2-pass symmetric Gram: the UNNORMALIZED
     X^T diag(w) X split into raw parts {"t", "m2"} that an accumulation
     loop can sum across chunks and mirror ONCE at the end
@@ -265,10 +308,10 @@ def tri2_gram_sum_raw(data, w=None, bounds=None):
     hs = hi if w is None else hi * jnp.sign(wf)[:, None]
     if bounds is None:
         bounds = tri2_bounds(x.shape[1])
-    return _tri2_from_split(hs, hi, lo, bounds)
+    return _tri2_from_split(hs, hi, lo, bounds, cross_int8=cross_int8)
 
 
-def _tri2_from_split(hs, hi, lo, bounds):
+def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False):
     """tri2 raw parts from an already-split (hs, hi, lo) operand triple.
 
     The triangle strips stay UNPADDED, as a tuple pytree: a chunked
@@ -276,8 +319,7 @@ def _tri2_from_split(hs, hi, lo, bounds):
     instead of materializing a zero-padded (P, P) matrix per chunk (the
     pad+concatenate showed up as ~1.5% of the headline RHS in the device
     trace); ``tri2_gram_finalize`` pads and assembles ONCE at the end."""
-    m2 = jnp.matmul(hs.T, lo, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
+    m2 = _cross_sum(hs, lo, int8=cross_int8)
     strips = []
     for i in range(len(bounds) - 1):
         lo_b, hi_b = bounds[i], bounds[i + 1]

@@ -115,6 +115,19 @@ class TDVPConfig:
     # flag gates minSR's symmetric kernel-space contractions
     # (stats.sym2_outer_sum for T's diagonal/direct assembly).
     gram_backend: str = "auto"
+    # MXU engine for the split backends' CROSS pass (the unsymmetric
+    # hi^T lo term of sym2/tri2 -- the one full pass tri2 cannot
+    # triangle-block). "bf16": the standard DEFAULT-precision pass.
+    # "int8": per-column-quantized int8 x int8 -> int32 (2x the bf16 MXU
+    # rate on TPU); per-column scales factor exactly out of the
+    # contraction, and the quantization error (~2^-15 of the Gram scale)
+    # sits below the lo@lo term the split class already drops
+    # (stats._cross_sum; scripts/bench_int8.py accuracy measurement).
+    # Chunked paths only in effect: exact int32 accumulation bounds the
+    # contraction length at 131,072 samples, beyond which the request
+    # falls back to bf16 per-call. "auto" = bf16 (int8 is opt-in until
+    # TPU in-RHS measurements flip it).
+    gram_cross: str = "auto"
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
     # (tdvp.py:57-71, main.py:186-187), which the O(P^3) eigh makes
@@ -644,6 +657,21 @@ class TDVP:
                     "'auto'/'xla' with this precision configuration"
                 )
 
+        if cfg.gram_cross not in ("auto", "bf16", "int8"):
+            raise ValueError(f"unknown gram_cross {cfg.gram_cross!r}")
+        # int8 cross pass: only the sym2/tri2 split backends HAVE a cross
+        # term; the request is meaningless (and would silently do nothing)
+        # on xla/syrk configurations.
+        self._cross_int8 = cfg.gram_cross == "int8"
+        if self._cross_int8 and not (self._use_sym2 or self._use_tri2):
+            raise ValueError(
+                "gram_cross='int8' accelerates the sym2/tri2 split "
+                "backends' cross pass; this configuration resolved to "
+                "gram_backend "
+                f"{'syrk' if self._use_syrk else 'xla'!s}, which has no "
+                "cross term (use gram_backend='auto'/'sym2'/'tri2')"
+            )
+
         self._unravel = unravel
         self._log_prob_flat = score.make_flat_log_prob(self.flow, unravel)
         self._hess_idx = equation.hessian_coords(self.flow.dim)
@@ -891,11 +919,12 @@ class TDVP:
         if self._use_tri2:
             bounds = stats.tri2_bounds(self.n_params)
             gram = lambda gw=None: stats.tri2_gram_finalize(
-                stats.tri2_gram_sum_raw(O_c, gw, bounds), bounds
-            ).astype(cdt) / n
+                stats.tri2_gram_sum_raw(O_c, gw, bounds,
+                                        cross_int8=self._cross_int8),
+                bounds).astype(cdt) / n
         elif self._use_sym2:
-            gram = lambda gw=None: stats.sym2_gram_sum(O_c, gw).astype(
-                cdt) / n
+            gram = lambda gw=None: stats.sym2_gram_sum(
+                O_c, gw, cross_int8=self._cross_int8).astype(cdt) / n
         elif self._use_syrk:
             gram = lambda gw=None: _syrk(O_c, w=gw).astype(cdt) / n
         else:
@@ -980,7 +1009,8 @@ class TDVP:
         if self._use_tri2:
             bounds = stats.tri2_bounds(P)
             gram_sum = lambda Os, w=None, signed=False: \
-                stats.tri2_gram_sum_raw(Os, w, bounds)
+                stats.tri2_gram_sum_raw(Os, w, bounds,
+                                        cross_int8=self._cross_int8)
             # unpadded strip pytree (stats._tri2_from_split): the scan
             # carry adds K small triangle blocks per chunk, not a padded
             # (P, P) matrix
@@ -999,7 +1029,8 @@ class TDVP:
             # with the sign applied to the hi-split (exact in bf16), so
             # even the signed sum_EOO moment rides the 2-pass form
             gram_sum = lambda Os, w=None, signed=False: \
-                stats.sym2_gram_sum(Os, w).astype(cdt)
+                stats.sym2_gram_sum(
+                    Os, w, cross_int8=self._cross_int8).astype(cdt)
         else:
             gram_sum = lambda Os, w=None, signed=False: _matmul_gram_sum(
                 Os, w)
@@ -1055,9 +1086,11 @@ class TDVP:
                 theta_c, xc, t, c_O)
             es = eloc - c_E
             if self._use_tri2:
-                g0 = lambda: stats.tri2_gram_sum_raw_pair(pair, bounds)
+                g0 = lambda: stats.tri2_gram_sum_raw_pair(
+                    pair, bounds, cross_int8=self._cross_int8)
             else:
-                g0 = lambda: stats.sym2_gram_sum_pair(pair)
+                g0 = lambda: stats.sym2_gram_sum_pair(
+                    pair, cross_int8=self._cross_int8)
 
             def g_w(w, signed=False):
                 return gram_sum(stats.pair_to_f32(pair), w, signed)
