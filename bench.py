@@ -363,6 +363,10 @@ def main():
         passes = 1.5 + 0.5 / k_panels
     else:
         passes = 2 if tdvp._use_sym2 else 3
+    if tdvp._cross_int8:
+        # the cross pass runs on the int8 MXU at 2x the bf16 rate: its
+        # bf16-pass-equivalent cost halves in the honest ceiling
+        passes -= 0.5
     mfu_report(dt_fused, tdvp.n_samples, state.numParameters, args.dim,
                gram_passes=passes)
 

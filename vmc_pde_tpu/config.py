@@ -64,7 +64,8 @@ class RunConfig:
     eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
     gram_precision: str = "high"    # highest | high | default (MXU passes)
     gram_backend: str = "auto"      # auto | xla | syrk | sym2 | tri2
-    gram_cross: str = "auto"        # auto | bf16 | int8 (split cross pass)
+    gram_cross: str = "auto"        # auto | bf16 | int8 (split cross pass;
+                                    # auto = int8 on single-device TPU)
     hessian_mode: str = "auto"      # auto | trace | block (TDVPConfig)
     # Per-sample pipeline backend: auto | xla | pallas (TDVPConfig;
     # kernels/persample.py -- "auto" fuses the per-sample stage into the

@@ -125,8 +125,10 @@ class TDVPConfig:
     # (stats._cross_sum; scripts/bench_int8.py accuracy measurement).
     # Chunked paths only in effect: exact int32 accumulation bounds the
     # contraction length at 131,072 samples, beyond which the request
-    # falls back to bf16 per-call. "auto" = bf16 (int8 is opt-in until
-    # TPU in-RHS measurements flip it).
+    # falls back to bf16 per-call. "auto" engages int8 on single-device
+    # TPU split configs (d=32 headline: +25% RHS throughput at unchanged
+    # residual, results/bench_int8cross_r3h.txt) and stays bf16 on
+    # meshes/CPU.
     gram_cross: str = "auto"
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
@@ -661,8 +663,18 @@ class TDVP:
             raise ValueError(f"unknown gram_cross {cfg.gram_cross!r}")
         # int8 cross pass: only the sym2/tri2 split backends HAVE a cross
         # term; the request is meaningless (and would silently do nothing)
-        # on xla/syrk configurations.
-        self._cross_int8 = cfg.gram_cross == "int8"
+        # on xla/syrk configurations. "auto" engages it on single-device
+        # TPU (d=32 headline: 750.5 vs 935.9 ms/RHS, +25%, residual
+        # unchanged at 7.5e-6; results/bench_int8cross_r3h.txt). Meshes
+        # keep bf16: the per-column amax over the dp-sharded sample axis
+        # would add a max-collective per Gram call, unmeasured on real
+        # multi-chip hardware (explicit 'int8' still works there).
+        self._cross_int8 = cfg.gram_cross == "int8" or (
+            cfg.gram_cross == "auto"
+            and (self._use_sym2 or self._use_tri2)
+            and self.ctx.mesh.size == 1
+            and jax.default_backend() == "tpu"
+        )
         if self._cross_int8 and not (self._use_sym2 or self._use_tri2):
             raise ValueError(
                 "gram_cross='int8' accelerates the sym2/tri2 split "
