@@ -716,11 +716,14 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     dot_generals.
 
     ``emit_split=True`` changes the signature to fn(theta, x, shift) ->
-    (logp, g, quad or None, (O_hi, O_lo), colsum (P,)): instead of the
-    f32 O the kernel writes the bf16 hi/lo operand split of
-    (O - shift[:, None]), plus the column sums of the shifted O
+    (logp, g, quad or None, (O_hi, O_lo), colsum (P,), amax (P, 2)):
+    instead of the f32 O the kernel writes the bf16 hi/lo operand split
+    of (O - shift[:, None]), plus the column sums of the shifted O
     (grid-accumulated f32 -- summed BEFORE the split, and saving the
-    consumer one full pair read)
+    consumer one full pair read), plus the grid-accumulated column
+    max |hi| / max |lo| (feeds the int8 cross quantization scales,
+    stats._quant_cols_int8 -- saves the consumer a lane-axis max-reduce
+    over each full operand, ~26 ms/RHS at the headline shape)
     -- exactly the decomposition the sym2/tri2 Gram backends produce
     from f32 O (parallel/stats._split_bf16, with the chunked path's
     pilot shift already applied). Same HBM write bytes (2x bf16 == f32),
@@ -757,7 +760,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         if emit_split:
             shift_ref = refs[pos + int(want_quad) + int(is_t)]
             (logp_ref, g_ref, quad_ref, o_hi_ref, o_lo_ref,
-             o_sum_ref) = refs[-6:]
+             o_sum_ref, o_amax_ref) = refs[-7:]
         else:
             logp_ref, g_ref, quad_ref, o_ref = refs[-4:]
 
@@ -775,23 +778,30 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         if emit_split:
             o32 = assemble_O(slabs, order) - shift_ref[:]
             hi16 = o32.astype(jnp.bfloat16)
+            lo16 = (o32 - hi16.astype(o32.dtype)).astype(jnp.bfloat16)
             o_hi_ref[:] = hi16
-            o_lo_ref[:] = (o32 - hi16.astype(o32.dtype)).astype(
-                jnp.bfloat16)
+            o_lo_ref[:] = lo16
             # column sums of the shifted O, accumulated across the
             # sample-tile grid into one (P, 1) output (constant index
             # map; TPU grids run sequentially) -- saves the consumer a
             # full read of the pair, and sums the f32 values BEFORE the
-            # bf16 split
+            # bf16 split; likewise the column max |hi| / |lo| (P, 2)
+            # feeding the int8 quantization scales
             osum = jnp.sum(o32, axis=1, keepdims=True).astype(jnp.float32)
+            oam = jnp.concatenate(
+                [jnp.max(jnp.abs(hi16), axis=1, keepdims=True),
+                 jnp.max(jnp.abs(lo16), axis=1, keepdims=True)],
+                axis=1).astype(jnp.float32)
 
             @pl.when(pl.program_id(0) == 0)
             def _init():
                 o_sum_ref[:] = osum
+                o_amax_ref[:] = oam
 
             @pl.when(pl.program_id(0) != 0)
             def _acc():
                 o_sum_ref[:] += osum
+                o_amax_ref[:] = jnp.maximum(o_amax_ref[:], oam)
         else:
             o_ref[:] = assemble_O(slabs, order)
         if want_quad:
@@ -843,8 +853,12 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                                     memory_space=pltpu.VMEM)] * 2
             o_specs.append(pl.BlockSpec((n_params, 1), lambda i: (_z, _z),
                                         memory_space=pltpu.VMEM))
+            o_specs.append(pl.BlockSpec((n_params, 2), lambda i: (_z, _z),
+                                        memory_space=pltpu.VMEM))
             o_shapes = [jax.ShapeDtypeStruct((n_params, n), jnp.bfloat16)] * 2
             o_shapes.append(jax.ShapeDtypeStruct((n_params, 1),
+                                                 jnp.float32))
+            o_shapes.append(jax.ShapeDtypeStruct((n_params, 2),
                                                  jnp.float32))
         else:
             o_specs = [pl.BlockSpec((n_params, tile), lambda i: (_z, i),
@@ -881,7 +895,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         )(x.T, *extra)
         if emit_split:
             return (logp[0], g.T, quad[0] if want_quad else None,
-                    (Os[0].T, Os[1].T), Os[2][:, 0])
+                    (Os[0].T, Os[1].T), Os[2][:, 0], Os[3])
         return (logp[0], g.T,
                 quad[0] if want_quad else None, Os[0].T)
 

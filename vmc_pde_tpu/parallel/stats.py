@@ -105,19 +105,25 @@ def _split_bf16(x):
 _INT8_CROSS_N_MAX = 131072
 
 
-def _quant_cols_int8(x):
+def _quant_cols_int8(x, amax=None):
     """Per-column symmetric int8 quantization: x == scale * q + err with
-    |err| <= scale/2 elementwise, scale = colmax(|x|)/127 (1.0 for zero
-    columns). round-half-even after the divide cannot exceed 127 since
-    |x|/scale <= 127 exactly; the clip guards f32 divide rounding."""
+    |err| <~ scale/2 elementwise, scale = colmax(|x|)/127 (1.0 for zero
+    columns). The rounding multiplies by the reciprocal scale -- a
+    per-element f32 DIVIDE is ~10x slower on the TPU VPU and showed up
+    as ~2.5% of the headline RHS in the device trace. |x| * inv <= 127
+    up to f32 rounding of inv; the clip guards that ulp. ``amax``: the
+    column max |x|, precomputed (the split kernel grid-accumulates it,
+    saving a lane-axis max-reduce over the full operand per call)."""
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=0)
+    if amax is None:
+        amax = jnp.max(jnp.abs(xf), axis=0)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(xf / scale[None, :]), -127, 127).astype(jnp.int8)
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    q = jnp.clip(jnp.round(xf * inv[None, :]), -127, 127).astype(jnp.int8)
     return q, scale
 
 
-def _cross_sum(a, b, int8=False):
+def _cross_sum(a, b, int8=False, amax=None):
     """The hi/lo cross term a^T @ b -> f32 (the full-pass, unsymmetric term
     of the 2-pass Gram split).
 
@@ -129,10 +135,12 @@ def _cross_sum(a, b, int8=False):
     error (~2^-15 of the Gram scale, measured 8.4e-7 vs the 2.8e-6 dropped
     lo@lo term at the headline shape; scripts/bench_int8.py) sits below
     the numerics class the split already accepts. Falls back to bf16 when
-    exact int32 accumulation is not guaranteed (N > _INT8_CROSS_N_MAX)."""
+    exact int32 accumulation is not guaranteed (N > _INT8_CROSS_N_MAX).
+    ``amax``: optional (colmax|a|, colmax|b|) pair, precomputed by the
+    split kernel (skips two full-operand max-reduces)."""
     if int8 and a.shape[0] <= _INT8_CROSS_N_MAX:
-        a8, sa = _quant_cols_int8(a)
-        b8, sb = _quant_cols_int8(b)
+        a8, sa = _quant_cols_int8(a, None if amax is None else amax[0])
+        b8, sb = _quant_cols_int8(b, None if amax is None else amax[1])
         m = jax.lax.dot_general(a8, b8, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
         return m.astype(jnp.float32) * sa[:, None] * sb[None, :]
@@ -224,21 +232,30 @@ def pair_vecmat(v, pair):
     return r[0] + r[1] + r2[0]
 
 
-def sym2_gram_sum_pair(pair, cross_int8=False):
+def sym2_gram_sum_pair(pair, cross_int8=False, amax=None):
     """Unweighted sym2_gram_sum from the pre-split pair: the two MXU passes
-    read hi/lo straight from the kernel's output, no split production."""
+    read hi/lo straight from the kernel's output, no split production.
+    ``amax``: optional (P, 2) kernel-accumulated column max |hi| / |lo|
+    for the int8 cross quantization."""
     hi, lo = pair
     m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    m2 = _cross_sum(hi, lo, int8=cross_int8)
+    m2 = _cross_sum(hi, lo, int8=cross_int8,
+                    amax=None if amax is None else (amax[:, 0], amax[:, 1]))
     return m1 + m2 + m2.T
 
 
-def tri2_gram_sum_raw_pair(pair, bounds, cross_int8=False):
+def tri2_gram_sum_raw_pair(pair, bounds, cross_int8=False, amax=None):
     """Unweighted tri2_gram_sum_raw from the pre-split pair (same raw
-    {"t", "m2"} parts, mirrored by tri2_gram_finalize after accumulation)."""
+    {"t", "m2"} parts, mirrored by tri2_gram_finalize after accumulation).
+    ``amax``: optional (P, 2) kernel-accumulated column max |hi| / |lo|."""
     hi, lo = pair
-    return _tri2_from_split(hi, hi, lo, bounds, cross_int8=cross_int8)
+    return _tri2_from_split(hi, hi, lo, bounds, cross_int8=cross_int8,
+                            amax=amax)
+
+
+def _tri2_cross_amax(amax):
+    return None if amax is None else (amax[:, 0], amax[:, 1])
 
 
 def sym2_outer_sum(data):
@@ -311,7 +328,7 @@ def tri2_gram_sum_raw(data, w=None, bounds=None, cross_int8=False):
     return _tri2_from_split(hs, hi, lo, bounds, cross_int8=cross_int8)
 
 
-def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False):
+def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False, amax=None):
     """tri2 raw parts from an already-split (hs, hi, lo) operand triple.
 
     The triangle strips stay UNPADDED, as a tuple pytree: a chunked
@@ -319,7 +336,7 @@ def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False):
     instead of materializing a zero-padded (P, P) matrix per chunk (the
     pad+concatenate showed up as ~1.5% of the headline RHS in the device
     trace); ``tri2_gram_finalize`` pads and assembles ONCE at the end."""
-    m2 = _cross_sum(hs, lo, int8=cross_int8)
+    m2 = _cross_sum(hs, lo, int8=cross_int8, amax=_tri2_cross_amax(amax))
     strips = []
     for i in range(len(bounds) - 1):
         lo_b, hi_b = bounds[i], bounds[i + 1]

@@ -674,6 +674,10 @@ class TDVP:
             and (self._use_sym2 or self._use_tri2)
             and self.ctx.mesh.size == 1
             and jax.default_backend() == "tpu"
+            # below this the Gram is a minor RHS cost and the per-call
+            # quantize passes are pure overhead (same floor reasoning as
+            # the tri2 P >= 4096 gate)
+            and self.n_params >= 2048
         )
         if self._cross_int8 and not (self._use_sym2 or self._use_tri2):
             raise ValueError(
@@ -851,12 +855,15 @@ class TDVP:
 
     def _per_sample_batch_split(self, theta_c, x, t, shift):
         """Split-emitting kernel path: (logp (n,), Eloc (n,),
-        (O_hi, O_lo), colsum (P,)) with the pair the bf16 hi/lo split of
-        (O - shift) and colsum its in-kernel column sums -- see the
-        _ps_split build in __init__."""
-        logp, g, quad, pair, colsum = self._ps_split(theta_c, x, shift)
+        (O_hi, O_lo), colsum (P,), amax (P, 2)) with the pair the bf16
+        hi/lo split of (O - shift), colsum its in-kernel column sums,
+        and amax the in-kernel column max |hi| / |lo| (the int8 cross
+        quantization scales) -- see the _ps_split build in __init__."""
+        logp, g, quad, pair, colsum, amax = self._ps_split(theta_c, x,
+                                                           shift)
         hess = quad if self._hess_dirs is not None else None
-        return logp, self.equation.eloc(x, g, hess, t), pair, colsum
+        return (logp, self.equation.eloc(x, g, hess, t), pair, colsum,
+                amax)
 
     # ------------------------------------------------------------------
     # Statistics assembly (tdvp.py:36-52 + SNR second moment).
@@ -1094,15 +1101,15 @@ class TDVP:
             # two DEFAULT passes); weighted Gram moments reconstruct the
             # f32 operand (their sqrt(w) scaling must precede the split;
             # XLA CSEs the reconstruction across the 2-3 uses).
-            logp, eloc, pair, colsum = self._per_sample_batch_split(
+            logp, eloc, pair, colsum, amax = self._per_sample_batch_split(
                 theta_c, xc, t, c_O)
             es = eloc - c_E
             if self._use_tri2:
                 g0 = lambda: stats.tri2_gram_sum_raw_pair(
-                    pair, bounds, cross_int8=self._cross_int8)
+                    pair, bounds, cross_int8=self._cross_int8, amax=amax)
             else:
                 g0 = lambda: stats.sym2_gram_sum_pair(
-                    pair, cross_int8=self._cross_int8)
+                    pair, cross_int8=self._cross_int8, amax=amax)
 
             def g_w(w, signed=False):
                 return gram_sum(stats.pair_to_f32(pair), w, signed)
