@@ -143,21 +143,28 @@ def test_kernel_emit_split_matches_plain():
 
     lp, g, q, O = run(theta, x)
     shift = jnp.linspace(-0.5, 0.5, P, dtype=jnp.float32)
-    lp_s, g_s, q_s, (hi, lo), colsum, amax = run_s(theta, x, shift)
+    lp_s, g_s, q_s, (hi, lo), colsum, omax = run_s(theta, x, shift)
     assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
     # in-kernel grid-accumulated column sums of the SHIFTED O (f32,
     # summed before the split)
     want_sum = (np.asarray(O) - np.asarray(shift)[None, :]).sum(0)
     np.testing.assert_allclose(np.asarray(colsum), want_sum,
                                atol=1e-4 * (np.abs(want_sum).max() + 1.0))
-    # in-kernel grid-accumulated column max |hi| / |lo| (the int8 cross
-    # quantization scales) -- exact maxima of the emitted bf16 values
-    np.testing.assert_array_equal(
-        np.asarray(amax[:, 0]),
-        np.abs(np.asarray(hi, np.float32)).max(0))
-    np.testing.assert_array_equal(
-        np.asarray(amax[:, 1]),
-        np.abs(np.asarray(lo, np.float32)).max(0))
+    # in-kernel grid-accumulated column max |O - shift| -- exact f32
+    # maxima (tiny per-element differences between the kernel's O and
+    # the plain path's are below the assert_allclose atol used for O
+    # itself, so compare against the emitted pair's reconstruction)
+    o_pair = (np.asarray(hi, np.float32) + np.asarray(lo, np.float32))
+    m = np.asarray(omax)
+    np.testing.assert_allclose(m, np.abs(o_pair).max(0), rtol=1e-4,
+                               atol=1e-7)
+    # the derived int8 scale bounds must dominate the true split maxima
+    # (the lo residual is itself bf16-rounded, hence the extra (1+2^-8)
+    # slack -- absorbed by the quantizer's clip in production)
+    assert (np.abs(np.asarray(hi, np.float32)).max(0)
+            <= m * (1.0 + 2.0**-8) + 1e-12).all()
+    assert (np.abs(np.asarray(lo, np.float32)).max(0)
+            <= m * 2.0**-8 * (1.0 + 2.0**-8) + 1e-12).all()
     np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g), atol=1e-6)
     np.testing.assert_allclose(np.asarray(q_s), np.asarray(q), atol=1e-6)

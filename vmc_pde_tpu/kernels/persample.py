@@ -716,14 +716,17 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     dot_generals.
 
     ``emit_split=True`` changes the signature to fn(theta, x, shift) ->
-    (logp, g, quad or None, (O_hi, O_lo), colsum (P,), amax (P, 2)):
+    (logp, g, quad or None, (O_hi, O_lo), colsum (P,), omax (P,)):
     instead of the f32 O the kernel writes the bf16 hi/lo operand split
     of (O - shift[:, None]), plus the column sums of the shifted O
     (grid-accumulated f32 -- summed BEFORE the split, and saving the
     consumer one full pair read), plus the grid-accumulated column
-    max |hi| / max |lo| (feeds the int8 cross quantization scales,
-    stats._quant_cols_int8 -- saves the consumer a lane-axis max-reduce
-    over each full operand, ~26 ms/RHS at the headline shape)
+    max |O - shift| (one f32 lane reduce; the consumer derives both
+    int8 cross quantization scale bounds from it -- max|hi| <=
+    omax(1+2^-8) by monotone bf16 rounding and max|lo| <= omax 2^-8
+    since the split residual is bounded by half a bf16 ulp -- saving
+    a lane-axis max-reduce over each full operand, ~26 ms/RHS at the
+    headline shape, without paying two reduces in-kernel)
     -- exactly the decomposition the sym2/tri2 Gram backends produce
     from f32 O (parallel/stats._split_bf16, with the chunked path's
     pilot shift already applied). Same HBM write bytes (2x bf16 == f32),
@@ -785,13 +788,14 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
             # sample-tile grid into one (P, 1) output (constant index
             # map; TPU grids run sequentially) -- saves the consumer a
             # full read of the pair, and sums the f32 values BEFORE the
-            # bf16 split; likewise the column max |hi| / |lo| (P, 2)
-            # feeding the int8 quantization scales
+            # bf16 split; likewise the column max |o32| (P, 1), from
+            # which the consumer derives BOTH int8 quantization scale
+            # bounds (max|hi| <= m(1+2^-8) by monotone bf16 rounding,
+            # max|lo| <= m 2^-8 since |lo| <= ulp/2) -- one lane reduce
+            # on the f32 value instead of two on the split halves
             osum = jnp.sum(o32, axis=1, keepdims=True).astype(jnp.float32)
-            oam = jnp.concatenate(
-                [jnp.max(jnp.abs(hi16), axis=1, keepdims=True),
-                 jnp.max(jnp.abs(lo16), axis=1, keepdims=True)],
-                axis=1).astype(jnp.float32)
+            oam = jnp.max(jnp.abs(o32), axis=1,
+                          keepdims=True).astype(jnp.float32)
 
             @pl.when(pl.program_id(0) == 0)
             def _init():
@@ -851,15 +855,11 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         if emit_split:
             o_specs = [pl.BlockSpec((n_params, tile), lambda i: (_z, i),
                                     memory_space=pltpu.VMEM)] * 2
-            o_specs.append(pl.BlockSpec((n_params, 1), lambda i: (_z, _z),
-                                        memory_space=pltpu.VMEM))
-            o_specs.append(pl.BlockSpec((n_params, 2), lambda i: (_z, _z),
-                                        memory_space=pltpu.VMEM))
+            o_specs.extend([pl.BlockSpec((n_params, 1), lambda i: (_z, _z),
+                                         memory_space=pltpu.VMEM)] * 2)
             o_shapes = [jax.ShapeDtypeStruct((n_params, n), jnp.bfloat16)] * 2
-            o_shapes.append(jax.ShapeDtypeStruct((n_params, 1),
-                                                 jnp.float32))
-            o_shapes.append(jax.ShapeDtypeStruct((n_params, 2),
-                                                 jnp.float32))
+            o_shapes.extend([jax.ShapeDtypeStruct((n_params, 1),
+                                                  jnp.float32)] * 2)
         else:
             o_specs = [pl.BlockSpec((n_params, tile), lambda i: (_z, i),
                                     memory_space=pltpu.VMEM)]
@@ -895,7 +895,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         )(x.T, *extra)
         if emit_split:
             return (logp[0], g.T, quad[0] if want_quad else None,
-                    (Os[0].T, Os[1].T), Os[2][:, 0], Os[3])
+                    (Os[0].T, Os[1].T), Os[2][:, 0], Os[3][:, 0])
         return (logp[0], g.T,
                 quad[0] if want_quad else None, Os[0].T)
 

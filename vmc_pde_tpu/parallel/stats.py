@@ -235,27 +235,22 @@ def pair_vecmat(v, pair):
 def sym2_gram_sum_pair(pair, cross_int8=False, amax=None):
     """Unweighted sym2_gram_sum from the pre-split pair: the two MXU passes
     read hi/lo straight from the kernel's output, no split production.
-    ``amax``: optional (P, 2) kernel-accumulated column max |hi| / |lo|
-    for the int8 cross quantization."""
+    ``amax``: optional (colmax|hi| bound, colmax|lo| bound) pair for the
+    int8 cross quantization (derived from the kernel's omax output)."""
     hi, lo = pair
     m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    m2 = _cross_sum(hi, lo, int8=cross_int8,
-                    amax=None if amax is None else (amax[:, 0], amax[:, 1]))
+    m2 = _cross_sum(hi, lo, int8=cross_int8, amax=amax)
     return m1 + m2 + m2.T
 
 
 def tri2_gram_sum_raw_pair(pair, bounds, cross_int8=False, amax=None):
     """Unweighted tri2_gram_sum_raw from the pre-split pair (same raw
     {"t", "m2"} parts, mirrored by tri2_gram_finalize after accumulation).
-    ``amax``: optional (P, 2) kernel-accumulated column max |hi| / |lo|."""
+    ``amax``: optional (colmax|hi| bound, colmax|lo| bound) pair."""
     hi, lo = pair
     return _tri2_from_split(hi, hi, lo, bounds, cross_int8=cross_int8,
                             amax=amax)
-
-
-def _tri2_cross_amax(amax):
-    return None if amax is None else (amax[:, 0], amax[:, 1])
 
 
 def sym2_outer_sum(data):
@@ -336,7 +331,7 @@ def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False, amax=None):
     instead of materializing a zero-padded (P, P) matrix per chunk (the
     pad+concatenate showed up as ~1.5% of the headline RHS in the device
     trace); ``tri2_gram_finalize`` pads and assembles ONCE at the end."""
-    m2 = _cross_sum(hs, lo, int8=cross_int8, amax=_tri2_cross_amax(amax))
+    m2 = _cross_sum(hs, lo, int8=cross_int8, amax=amax)
     strips = []
     for i in range(len(bounds) - 1):
         lo_b, hi_b = bounds[i], bounds[i + 1]

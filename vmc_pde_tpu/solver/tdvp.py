@@ -855,15 +855,16 @@ class TDVP:
 
     def _per_sample_batch_split(self, theta_c, x, t, shift):
         """Split-emitting kernel path: (logp (n,), Eloc (n,),
-        (O_hi, O_lo), colsum (P,), amax (P, 2)) with the pair the bf16
+        (O_hi, O_lo), colsum (P,), omax (P,)) with the pair the bf16
         hi/lo split of (O - shift), colsum its in-kernel column sums,
-        and amax the in-kernel column max |hi| / |lo| (the int8 cross
-        quantization scales) -- see the _ps_split build in __init__."""
-        logp, g, quad, pair, colsum, amax = self._ps_split(theta_c, x,
+        and omax the in-kernel column max |O - shift| (the int8 cross
+        quantization scale bounds derive from it) -- see the _ps_split
+        build in __init__."""
+        logp, g, quad, pair, colsum, omax = self._ps_split(theta_c, x,
                                                            shift)
         hess = quad if self._hess_dirs is not None else None
         return (logp, self.equation.eloc(x, g, hess, t), pair, colsum,
-                amax)
+                omax)
 
     # ------------------------------------------------------------------
     # Statistics assembly (tdvp.py:36-52 + SNR second moment).
@@ -1101,9 +1102,17 @@ class TDVP:
             # two DEFAULT passes); weighted Gram moments reconstruct the
             # f32 operand (their sqrt(w) scaling must precede the split;
             # XLA CSEs the reconstruction across the 2-3 uses).
-            logp, eloc, pair, colsum, amax = self._per_sample_batch_split(
+            logp, eloc, pair, colsum, omax = self._per_sample_batch_split(
                 theta_c, xc, t, c_O)
             es = eloc - c_E
+            # int8 cross quantization scale bounds from the kernel's
+            # column max |O - shift|: max|hi| <= omax (1 + 2^-8) (monotone
+            # bf16 rounding), max|lo| <= omax 2^-8 (split residual is at
+            # most half a bf16 ulp). Bounds only coarsen the quantization
+            # by <= 2x on the lo side -- far inside the int8 error class.
+            amax = ((omax * np.float32(1.0 + 2.0**-8),
+                     omax * np.float32(2.0**-8))
+                    if self._cross_int8 else None)
             if self._use_tri2:
                 g0 = lambda: stats.tri2_gram_sum_raw_pair(
                     pair, bounds, cross_int8=self._cross_int8, amax=amax)
