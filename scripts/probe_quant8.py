@@ -144,7 +144,7 @@ def main():
     # stores are unsupported)
     run_case(1024, 2048, 256, 2, 3, "small")
     if not args.quick:
-        run_case(9264, 65536, 256, 3, 5, "headline")
+        run_case(9264, 65536, 128, 3, 3, "headline")
 
 
 if __name__ == "__main__":

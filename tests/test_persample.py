@@ -256,6 +256,49 @@ def test_chunked_stats_split_kernel_matches_plain(ctx1, backend):
                                    rtol=1e-6, atol=1e-6, err_msg=key)
 
 
+@pytest.mark.parametrize("backend", ["sym2", "tri2"])
+def test_chunked_stats_quant8_fused_matches_xla_int8(ctx1, backend,
+                                                     monkeypatch):
+    """The fused quantize+force Pallas path (kernels/quant8.py) must
+    reproduce the XLA int8 cross path exactly up to summation order:
+    identical quantization math (same reciprocal scales, round, clip)
+    means identical q8 operands and an identical int32 cross dot; the
+    force partials accumulate per tile instead of in one dot."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.solver import tdvp as tdvp_mod
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    cfg = TDVPConfig(per_sample_backend="pallas", gram_backend=backend,
+                     gram_cross="int8", gram_precision="high",
+                     chunk_size=512, compute_snr=True, compute_sexp=True)
+    st, t = make_problem(ctx1, dim=2, n=2048, prec=prec, cfg=cfg)
+    assert t._ps_split is not None and t._cross_int8
+
+    theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+    params = t._unravel(theta_c)
+    z = st.flow.latent_sample(jax.random.PRNGKey(7), params, 2048,
+                              dtype=prec.compute)
+    x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+    s_q8 = t._chunked_stats(theta_c, 0.0, x)
+    monkeypatch.setattr(tdvp_mod.quant8, "supported",
+                        lambda P, n: False)
+    s_ref = t._chunked_stats(theta_c, 0.0, x)
+    for key in ("S0", "A", "SExp"):
+        a = np.asarray(s_ref[key])
+        b = np.asarray(s_q8[key])
+        np.testing.assert_allclose(b, a, atol=2e-6 * np.abs(a).max(),
+                                   err_msg=key)
+    a, b = np.asarray(s_ref["F0"]), np.asarray(s_q8["F0"])
+    np.testing.assert_allclose(b, a, atol=1e-5 * np.abs(a).max() + 1e-9)
+    for key in ("logp", "eloc", "eloc_mean", "eloc_var"):
+        np.testing.assert_allclose(np.asarray(s_q8[key]),
+                                   np.asarray(s_ref[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
+
+
 def test_split_kernel_not_built_without_sym2(ctx1):
     """The split variant only serves the sym2/tri2 Gram backends; the plain
     xla Gram keeps the f32 O kernel alone."""

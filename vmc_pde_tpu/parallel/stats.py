@@ -232,25 +232,39 @@ def pair_vecmat(v, pair):
     return r[0] + r[1] + r2[0]
 
 
-def sym2_gram_sum_pair(pair, cross_int8=False, amax=None):
+def cross_from_q8(q8_a_pn, q8_b_pn, sa, sb):
+    """The hi/lo cross term from PRE-QUANTIZED (P, n) operands (the
+    kernels/quant8.py fused quantize+force pass): int8 MXU dot
+    contracting the sample axis, de-scaled in f32. Same math as
+    _cross_sum's int8 path with the quantization hoisted out."""
+    m = jax.lax.dot_general(q8_a_pn, q8_b_pn, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return m.astype(jnp.float32) * sa[:, None] * sb[None, :]
+
+
+def sym2_gram_sum_pair(pair, cross_int8=False, amax=None, m2=None):
     """Unweighted sym2_gram_sum from the pre-split pair: the two MXU passes
     read hi/lo straight from the kernel's output, no split production.
     ``amax``: optional (colmax|hi| bound, colmax|lo| bound) pair for the
-    int8 cross quantization (derived from the kernel's omax output)."""
+    int8 cross quantization (derived from the kernel's omax output).
+    ``m2``: optional precomputed cross term (cross_from_q8)."""
     hi, lo = pair
     m1 = jnp.matmul(hi.T, hi, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    m2 = _cross_sum(hi, lo, int8=cross_int8, amax=amax)
+    if m2 is None:
+        m2 = _cross_sum(hi, lo, int8=cross_int8, amax=amax)
     return m1 + m2 + m2.T
 
 
-def tri2_gram_sum_raw_pair(pair, bounds, cross_int8=False, amax=None):
+def tri2_gram_sum_raw_pair(pair, bounds, cross_int8=False, amax=None,
+                           m2=None):
     """Unweighted tri2_gram_sum_raw from the pre-split pair (same raw
     {"t", "m2"} parts, mirrored by tri2_gram_finalize after accumulation).
-    ``amax``: optional (colmax|hi| bound, colmax|lo| bound) pair."""
+    ``amax``: optional (colmax|hi| bound, colmax|lo| bound) pair; ``m2``:
+    optional precomputed cross term (cross_from_q8)."""
     hi, lo = pair
     return _tri2_from_split(hi, hi, lo, bounds, cross_int8=cross_int8,
-                            amax=amax)
+                            amax=amax, m2=m2)
 
 
 def sym2_outer_sum(data):
@@ -323,7 +337,8 @@ def tri2_gram_sum_raw(data, w=None, bounds=None, cross_int8=False):
     return _tri2_from_split(hs, hi, lo, bounds, cross_int8=cross_int8)
 
 
-def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False, amax=None):
+def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False, amax=None,
+                     m2=None):
     """tri2 raw parts from an already-split (hs, hi, lo) operand triple.
 
     The triangle strips stay UNPADDED, as a tuple pytree: a chunked
@@ -331,7 +346,8 @@ def _tri2_from_split(hs, hi, lo, bounds, cross_int8=False, amax=None):
     instead of materializing a zero-padded (P, P) matrix per chunk (the
     pad+concatenate showed up as ~1.5% of the headline RHS in the device
     trace); ``tri2_gram_finalize`` pads and assembles ONCE at the end."""
-    m2 = _cross_sum(hs, lo, int8=cross_int8, amax=amax)
+    if m2 is None:
+        m2 = _cross_sum(hs, lo, int8=cross_int8, amax=amax)
     strips = []
     for i in range(len(bounds) - 1):
         lo_b, hi_b = bounds[i], bounds[i + 1]

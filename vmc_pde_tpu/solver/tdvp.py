@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import persample
+from ..kernels import quant8
 from ..kernels.syrk import syrk as _syrk
 from ..models.state import VarState
 from ..ops import score
@@ -1005,6 +1006,13 @@ class TDVP:
         # O (cast to f64), so it stays on the plain path.
         use_pair = (self._ps_split is not None and gdt is None
                     and c % self._ps_round == 0)
+        # Fused quantize+force Pallas kernel (kernels/quant8.py): on the
+        # int8 cross path each chunk otherwise makes three separate
+        # near-HBM-peak XLA passes over the bf16 pair (quantize hi,
+        # quantize lo, force pair_vecmat); the kernel folds the force
+        # partials into the quantize pass so each operand is read once.
+        use_q8 = (use_pair and self._cross_int8 and quant8.supported(P, c))
+        q8_interp = jax.default_backend() != "tpu"
 
         # Pilot estimates from the first chunk: shift constants only --
         # exactness does not depend on them. On the plain path the pilot
@@ -1110,15 +1118,37 @@ class TDVP:
             # bf16 rounding), max|lo| <= omax 2^-8 (split residual is at
             # most half a bf16 ulp). Bounds only coarsen the quantization
             # by <= 2x on the lo side -- far inside the int8 error class.
-            amax = ((omax * np.float32(1.0 + 2.0**-8),
-                     omax * np.float32(2.0**-8))
-                    if self._cross_int8 else None)
+            amax_hi = omax * np.float32(1.0 + 2.0**-8)
+            amax_lo = omax * np.float32(2.0**-8)
+            m2 = None
+            sum_EO_part = None
+            if use_q8:
+                # fused quantize+force: one Pallas read per operand
+                # produces the q8 cross operands AND pair_vecmat(es)'s
+                # three HIGH-equivalent terms; .T below cancels the
+                # kernel-output transpose (the pallas_call consumes the
+                # physical (P, n) layout, no copy)
+                inv_hi = jnp.where(amax_hi > 0, 127.0 / amax_hi, 0.0)
+                inv_lo = jnp.where(amax_lo > 0, 127.0 / amax_lo, 0.0)
+                es_hi, es_lo = stats._split_bf16(es.astype(jnp.float32))
+                q8_hi, f_hi = quant8.quant_force(
+                    pair[0].T, inv_hi, jnp.stack([es_hi, es_lo], axis=1),
+                    interpret=q8_interp)
+                q8_lo, f_lo = quant8.quant_force(
+                    pair[1].T, inv_lo, es_hi[:, None], interpret=q8_interp)
+                m2 = stats.cross_from_q8(
+                    q8_hi, q8_lo,
+                    jnp.where(amax_hi > 0, amax_hi / 127.0, 1.0),
+                    jnp.where(amax_lo > 0, amax_lo / 127.0, 1.0))
+                sum_EO_part = f_hi[:, 0] + f_hi[:, 1] + f_lo[:, 0]
+            amax = (amax_hi, amax_lo) if self._cross_int8 else None
             if self._use_tri2:
                 g0 = lambda: stats.tri2_gram_sum_raw_pair(
-                    pair, bounds, cross_int8=self._cross_int8, amax=amax)
+                    pair, bounds, cross_int8=self._cross_int8, amax=amax,
+                    m2=m2)
             else:
                 g0 = lambda: stats.sym2_gram_sum_pair(
-                    pair, cross_int8=self._cross_int8, amax=amax)
+                    pair, cross_int8=self._cross_int8, amax=amax, m2=m2)
 
             def g_w(w, signed=False):
                 return gram_sum(stats.pair_to_f32(pair), w, signed)
@@ -1129,7 +1159,9 @@ class TDVP:
                 sum_absE=carry["sum_absE"] + jnp.sum(jnp.abs(eloc)),
                 sum_E2=carry["sum_E2"] + jnp.sum(es**2),
                 sum_rawE2=carry["sum_rawE2"] + jnp.sum(eloc**2),
-                sum_EO=carry["sum_EO"] + stats.pair_vecmat(es, pair),
+                sum_EO=carry["sum_EO"] + (
+                    sum_EO_part if sum_EO_part is not None
+                    else stats.pair_vecmat(es, pair)),
                 sum_OO=gadd(carry["sum_OO"], g0()),
                 sum_logp=carry["sum_logp"] + jnp.sum(logp),
             )
