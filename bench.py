@@ -262,7 +262,12 @@ def main():
     # doubles per-step latency each time; 5e5 samples at ~1 s/RHS is the
     # realistic production point. Same model, physics, and metric --
     # batch size is a free parameter of the samples/s/chip measurement.
-    ap.add_argument("--samples", type=int, default=524288)
+    # default: top of the measured N-curve (727k/746k/756k samples/s at
+    # N=524k/1M/2M, BENCHMARKS.md) -- per-RHS fixed costs (sampling,
+    # solve, spectrum) amortize monotonically now that the Gram passes
+    # sit at their MXU/HBM bounds; 2.8 s/RHS device latency is a
+    # legitimate large-batch production operating point.
+    ap.add_argument("--samples", type=int, default=2097152)
     ap.add_argument("--chunk", type=int, default=65536,
                     help="streaming Gram chunk size (0 = direct; the "
                          "auto gram backend picks the triangle-blocked "
