@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vmc_pde_tpu.kernels import persample
+from vmc_pde_tpu.kernels import persample, quant8
 from vmc_pde_tpu.models.flow import build_flow
 from vmc_pde_tpu.ops import score
 
@@ -297,6 +297,76 @@ def test_chunked_stats_quant8_fused_matches_xla_int8(ctx1, backend,
         np.testing.assert_allclose(np.asarray(s_q8[key]),
                                    np.asarray(s_ref[key]),
                                    rtol=1e-6, atol=1e-6, err_msg=key)
+
+
+def test_quant_force_kernel_matches_xla_quantizer():
+    """kernels/quant8.quant_force (interpret mode) must be bit-identical
+    to stats._quant_cols_int8 on the q8 output (same reciprocal-scale
+    round/clip) and reproduce x @ V in f32 across grid accumulation.
+    Exercises zero columns (inv=0 -> q=0) and near-clip values."""
+    from vmc_pde_tpu.kernels import quant8 as q8
+    from vmc_pde_tpu.parallel import stats as stats_mod
+
+    rng = np.random.default_rng(0)
+    n, P, kv = 512, 384, 2
+    O = rng.standard_normal((n, P)).astype(np.float32)
+    O[:, 7] = 0.0                      # empty column
+    O[3, 11] = 127.49 * O[:, 11].max() # near-clip outlier
+    O = jnp.asarray(O, jnp.bfloat16).astype(jnp.float32)
+    V = jnp.asarray(rng.standard_normal((n, kv)), jnp.bfloat16)
+
+    q_ref, scale = stats_mod._quant_cols_int8(O)
+    amax = jnp.max(jnp.abs(O), axis=0)
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    q_k, f_k = q8.quant_force(O.T, inv, V, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(q_k), np.asarray(q_ref).T)
+    f_ref = jax.lax.dot_general(
+        O.astype(jnp.bfloat16).T, V, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # grid-tile partial sums vs one dot: same f32 products, different
+    # summation order -- measured 3e-5 max abs at this shape
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(q_k)[7] == 0)  # empty column quantizes to 0
+
+
+def test_quant8_disengages_above_int8_chunk_max(ctx1, monkeypatch):
+    """Regression: the fused quantize+force path must honor _cross_sum's
+    int32-accumulation bound. For chunks longer than _INT8_CROSS_N_MAX the
+    XLA int8 leg silently degrades to bf16 (the int8 dot could overflow
+    int32); the quant8 fast path has its own dot (cross_from_q8) with no
+    internal guard, so the tdvp engagement check must apply the same
+    c-bound. With the bound patched below the chunk size, the int8 config
+    must produce BIT-IDENTICAL stats to a plain bf16-cross run."""
+    from tests.test_tdvp import make_problem
+    from vmc_pde_tpu.parallel import stats as stats_mod
+    from vmc_pde_tpu.solver import tdvp as tdvp_mod
+    from vmc_pde_tpu.solver.tdvp import TDVPConfig
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    monkeypatch.setattr(stats_mod, "_INT8_CROSS_N_MAX", 256)
+    prec = resolve("tpu")
+    mk = lambda cross: TDVPConfig(
+        per_sample_backend="pallas", gram_backend="tri2", gram_cross=cross,
+        gram_precision="high", chunk_size=512, compute_snr=True,
+        compute_sexp=True)
+    st, t8 = make_problem(ctx1, dim=2, n=1024, prec=prec, cfg=mk("int8"))
+    _, tb = make_problem(ctx1, dim=2, n=1024, prec=prec, cfg=mk("bf16"))
+    assert t8._ps_split is not None and t8._cross_int8
+    assert quant8.supported(t8.n_params, 512)  # only the c-guard disengages
+
+    theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+    params = t8._unravel(theta_c)
+    z = st.flow.latent_sample(jax.random.PRNGKey(11), params, 1024,
+                              dtype=prec.compute)
+    x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+    s8 = t8._chunked_stats(theta_c, 0.0, x)
+    sb = tb._chunked_stats(theta_c, 0.0, x)
+    for key in ("S0", "F0", "A", "SExp", "logp", "eloc"):
+        np.testing.assert_array_equal(np.asarray(s8[key]),
+                                      np.asarray(sb[key]), err_msg=key)
 
 
 def test_split_kernel_not_built_without_sym2(ctx1):

@@ -1011,7 +1011,12 @@ class TDVP:
         # near-HBM-peak XLA passes over the bf16 pair (quantize hi,
         # quantize lo, force pair_vecmat); the kernel folds the force
         # partials into the quantize pass so each operand is read once.
-        use_q8 = (use_pair and self._cross_int8 and quant8.supported(P, c))
+        # The c-guard mirrors _cross_sum's int32-accumulation fallback
+        # (chunks longer than _INT8_CROSS_N_MAX contract >= 2^31 worth of
+        # 127^2 products): there the int8 request silently degrades to
+        # bf16, so the fused-quantize path must disengage the same way.
+        use_q8 = (use_pair and self._cross_int8 and quant8.supported(P, c)
+                  and c <= stats._INT8_CROSS_N_MAX)
         q8_interp = jax.default_backend() != "tpu"
 
         # Pilot estimates from the first chunk: shift constants only --
