@@ -100,6 +100,50 @@ def test_tdvp_sym2_sharded_matches_single(mesh, ctx1, ctx8, ctx42):
         assert not bool(am["nan"])
 
 
+@pytest.mark.parametrize("mesh", ["dp8", "dp4tp2"])
+def test_tdvp_int8_cross_sharded_matches_single(mesh, ctx1, ctx8, ctx42):
+    """Explicit gram_cross='int8' on a mesh (tdvp.py documents that it
+    works there even though 'auto' keeps bf16): the per-column amax
+    reduce over the dp-sharded sample axis lowers to a max-collective
+    and the int8 contraction all-reduces int32 partials, so the sharded
+    statistics must match the single-device int8 statistics. Direct and
+    chunked."""
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")
+    ctx_multi = ctx8 if mesh == "dp8" else ctx42
+    for chunk in (0, 512):
+        cfg = TDVPConfig(gram_backend="sym2", gram_cross="int8",
+                         gram_precision="high", chunk_size=chunk,
+                         compute_snr=True, compute_sexp=True)
+        # dim=4 -> P=110, divisible by tp=2 (the eager stats call places
+        # the Gram with gram_spec, which needs an even parameter count)
+        st, t1 = make_problem(ctx1, dim=4, n=2048, cfg=cfg, prec=prec)
+        _, tm = make_problem(ctx_multi, dim=4, n=2048, cfg=cfg, prec=prec)
+        assert t1._cross_int8 and tm._cross_int8
+
+        theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+        params = t1._unravel(theta_c)
+        z = st.flow.latent_sample(jax.random.PRNGKey(7), params, 2048,
+                                  dtype=prec.compute)
+        x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+        xs = jax.device_put(x, ctx_multi.sharding(ctx_multi.samples_spec))
+
+        fn = "_chunked_stats" if chunk else "_direct_stats"
+        s1 = getattr(t1, fn)(theta_c, 0.0, x)
+        sm = getattr(tm, fn)(theta_c, 0.0, xs)
+        for key in ("S0", "A", "SExp"):
+            a, b = np.asarray(s1[key]), np.asarray(sm[key])
+            np.testing.assert_allclose(
+                b, a, atol=5e-5 * np.abs(a).max(),
+                err_msg=f"{key} (mesh={mesh}, chunk={chunk})")
+        # F0 is an f32 sample-sum: dp collective reduction reordering
+        # shifts the last few ulps (same class as the sym2 sharded bar)
+        np.testing.assert_allclose(np.asarray(sm["F0"]),
+                                   np.asarray(s1["F0"]), rtol=1e-4,
+                                   atol=1e-7, err_msg=f"F0 ({mesh})")
+
+
 def test_tdvp_chunked_sharded(ctx8):
     """Streaming accumulation composes with dp sharding."""
     st, tdvp = make_problem(ctx8, dim=2, n=2048,
