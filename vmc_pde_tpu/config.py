@@ -121,8 +121,9 @@ class RunConfig:
     # tunnel). Content-addressed keys: any config/shape change recompiles.
     aot_dir: Optional[str] = None
     # True: ALSO stream per-step metrics through the native C++ async
-    # recorder (native/recorder.cpp) into <workdir>/metrics.bin -- the step
-    # loop never waits on file IO (a background thread drains a bounded
+    # recorder (vmc_pde_tpu/native/recorder.cpp) into <workdir>/metrics.bin
+    # -- the step loop never waits on file IO (a background thread drains a
+    # bounded
     # queue), and the binary log converts losslessly to the infos schema
     # (utils.recorder.log_to_infos). Costs one device->host transfer per
     # step (per batch under steps_per_dispatch). Requires workdir.

@@ -1,5 +1,6 @@
 """Python bindings for the native asynchronous metrics recorder
-(native/recorder.cpp, built on demand with g++ and loaded via ctypes).
+(vmc_pde_tpu/native/recorder.cpp, built on demand with g++ and loaded via
+ctypes).
 
 Gives the driver a non-blocking diagnostics sink: each record is copied
 into a bounded native queue and written to a compact binary log by a C++
@@ -20,15 +21,27 @@ import subprocess
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native",
                     "recorder.cpp")
-_LIB = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                    "librecorder.so")
+
+
+def _lib_dir(src_dir: str) -> str:
+    """Directory to build librecorder.so into: next to the source when the
+    install is writable (dev tree), else a per-user cache dir (wheel
+    installs into read-only site-packages)."""
+    if os.access(src_dir, os.W_OK):
+        return src_dir
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "vmc_pde_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return cache
 
 
 def _build_lib() -> str:
     src = os.path.abspath(_SRC)
-    lib = os.path.abspath(_LIB)
+    lib = os.path.join(_lib_dir(os.path.dirname(src)), "librecorder.so")
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
     subprocess.run(
