@@ -88,6 +88,30 @@ def test_build_problem_all_presets():
         assert state.numParameters > 0
 
 
+def test_fokker_planck32_preset_wiring():
+    """BASELINE config 4 as a first-class workload: the fokkerPlanck32
+    preset builds the d=32 interacting (coupled-chain) OU Fokker-Planck
+    at the bench.py north-star shape, and one RHS evaluates finite at a
+    reduced width."""
+    from vmc_pde_tpu.config import preset
+
+    cfg = preset("fokkerPlanck32")
+    assert cfg.dim == 32 and cfg.equation == "advection_hamiltonian_wDiss"
+    state, tdvp, stepper, eq, grid = build_problem(cfg)
+    assert eq.coupled and eq.T == 10.0
+    assert state.numParameters == 9264  # the headline P (bench.py shape)
+
+    # runnable slice: same preset, narrow net + tiny batch on CPU f64
+    cfg = preset("fokkerPlanck32", depth=1, hidden=(4,),
+                 n_samples_tdvp=256, n_samples_obs=256,
+                 precision="f64", verbose=False)
+    state, tdvp, stepper, eq, grid = build_problem(cfg)
+    theta = jnp.asarray(state.get_parameters(), tdvp.precision.compute)
+    u, aux = tdvp.rhs(theta, 0.0, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(u)).all()
+    assert float(aux["solver_res"]) < 1e-6
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from vmc_pde_tpu.utils.checkpoint import (latest_checkpoint,
                                               load_checkpoint,

@@ -183,6 +183,20 @@ PRESETS = {
         proposal_mode="rw", rw_scale=0.8,
         dt0=1e-4, max_step=2e-3, grid_bound=4.0, mcmc_bound=2.5,
     ),
+    # BASELINE.json config 4: high-dimensional (d=32) INTERACTING OU
+    # Fokker-Planck, large-batch sampling -- the throughput north-star
+    # shape (bench.py). 16 (q, p) pairs, nearest-neighbour coupled chain
+    # potential sum_i (x_i - x_{i-1})^2, momentum damping/diffusion toward
+    # a T=10 bath. Production operating point:
+    #   vmc-pde fokkerPlanck32 --samples 524288 --chunk-size 65536 \
+    #       --steps-per-dispatch 8 --aot-dir .aot_cache
+    "fokkerPlanck32": _preset(
+        name="fokkerPlanck32", dim=32, offset=(0.0,) * 32,
+        latent_name="Gauss", equation="advection_hamiltonian_wDiss",
+        equation_params={"T": 10.0, "coupled": True},
+        variant="affine", n_samples_tdvp=16384, n_samples_obs=16384,
+        dt0=2e-3, max_step=2e-3, t_end=1.0, grid_bound=10.0,
+    ),
     "diffusion": _preset(
         name="diffusion", dim=8, offset=(0.0,) * 8, latent_name="Student_t",
         equation="diffusion", variant="scale",
