@@ -63,6 +63,10 @@ def main(argv=None):
                     help="<1: tail-tempered importance sampling of the "
                          "TDVP statistics (Student_t only; "
                          "TDVPConfig.is_gamma)")
+    ap.add_argument("--qmc", action="store_true",
+                    help="randomized-QMC (scrambled Sobol) latent sampling "
+                         "(sampling/qmc.py): lower estimator noise at the "
+                         "same budget")
     ap.add_argument("--snr-tol", type=float, default=2.0)
     ap.add_argument("--svd-tol", type=float, default=1e-11)
     ap.add_argument("--no-tol-floor", action="store_true")
@@ -113,7 +117,7 @@ def main(argv=None):
         gram_precision=args.gram_precision,
         gram_backend=args.gram_backend,
         use_snr=args.use_snr, snr_tol=args.snr_tol, svd_tol=args.svd_tol,
-        eloc_clip=args.eloc_clip, is_gamma=args.is_gamma,
+        eloc_clip=args.eloc_clip, is_gamma=args.is_gamma, qmc=args.qmc,
         auto_tol_floor=not args.no_tol_floor,
         solver_method=args.solver,
         solve_on_device=not args.solve_on_host,
@@ -169,6 +173,7 @@ def main(argv=None):
             "depth": args.depth,
             "eloc_clip": args.eloc_clip,
             "is_gamma": args.is_gamma,
+            "qmc": args.qmc,
             "solver": args.solver,
             "solve_on_host": args.solve_on_host,
         },

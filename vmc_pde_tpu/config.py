@@ -33,6 +33,10 @@ class RunConfig:
     alpha: float = 10.0
     init_scale: float = 1e-5
     seed: int = 1
+    # Randomized-QMC (scrambled Sobol) exact-latent sampling: lower
+    # estimator noise at the same sample budget (sampling/qmc.py). Exact
+    # Gauss/Student_t latents only; MCMC workloads ignore it.
+    qmc: bool = False
 
     # sampling (main.py:69,117-118)
     sample_seed: int = 1

@@ -59,6 +59,7 @@ def build_problem(cfg: RunConfig):
         alpha=cfg.alpha,
         out_scale=cfg.init_scale,
         dtype=precision.compute,
+        qmc=cfg.qmc and latent_for_sampler(cfg) in ("Gauss", "Student_t"),
     )
     state = VarState(
         flow, params, sampler=sampler, ctx=ctx, precision=precision,
@@ -554,6 +555,10 @@ def main(argv=None):
     p.add_argument("--is-gamma", type=float, default=None,
                    help="<1: tail-tempered importance sampling of the TDVP "
                         "statistics (Student_t latent; TDVPConfig.is_gamma)")
+    p.add_argument("--qmc", action="store_true",
+                   help="randomized-QMC (scrambled Sobol) exact-latent "
+                        "sampling: lower estimator noise at the same "
+                        "sample budget (sampling/qmc.py)")
     p.add_argument("--stepper", type=str, default=None,
                    choices=["fixed_heun", "fixed_euler", "fixed_rk3", "adaptive_heun", "adaptive_rk23"])
     p.add_argument("--exact-t-end", action="store_true",
@@ -631,6 +636,8 @@ def main(argv=None):
         overrides["solve_on_device"] = False
     if args.is_gamma is not None:
         overrides["is_gamma"] = args.is_gamma
+    if args.qmc:
+        overrides["qmc"] = True
     if args.stepper is not None:
         overrides["stepper"] = args.stepper
     if args.exact_t_end:

@@ -35,6 +35,13 @@ class Flow:
     blocks: Tuple[coupling.BlockSpec, ...]
     latent_name: str = "Gauss"
     offset: Tuple[float, ...] = None  # latent offset (net.py:192, main.py mode_dict)
+    # Randomized-QMC (scrambled Sobol) exact-latent sampling: every
+    # latent_sample call -- TDVP batches, observables, the standalone
+    # sampler -- draws from a digitally-shifted low-discrepancy net
+    # instead of iid pseudo-randoms (sampling/qmc.py). Same key
+    # semantics; substantially lower estimator noise per sample. No
+    # reference counterpart.
+    qmc: bool = False
 
     def __post_init__(self):
         if self.offset is None:
@@ -100,7 +107,8 @@ class Flow:
         """Draw n latent-space samples (offset applied, sampler.py:86)."""
         dtype = dtype or params["latent"]["mu"].dtype
         z = latent.sample(
-            self.latent_name, key, params["latent"], self.dim, n, dtype
+            self.latent_name, key, params["latent"], self.dim, n, dtype,
+            qmc=self.qmc,
         )
         return z + jnp.asarray(self.offset_array, dtype=dtype)
 
@@ -113,7 +121,7 @@ class Flow:
             raise ValueError("tempered sampling is a Student_t feature")
         dtype = dtype or params["latent"]["mu"].dtype
         z, log_w = latent.student_t_tempered_sample(
-            key, params["latent"], self.dim, n, gamma, dtype
+            key, params["latent"], self.dim, n, gamma, dtype, qmc=self.qmc
         )
         return z + jnp.asarray(self.offset_array, dtype=dtype), log_w
 
@@ -147,6 +155,7 @@ def build_flow(
     alpha: float = 10.0,
     out_scale: float = 1e-5,
     dtype=jnp.float32,
+    qmc: bool = False,
 ):
     """Construct (Flow, params) the way the reference driver does
     (main.py:73: depth 4, hidden (dim//2,), seeded partition + init)."""
@@ -166,6 +175,7 @@ def build_flow(
         for u, d in zip(ups, downs)
     )
     offset = tuple(float(o) for o in (offset if offset is not None else np.zeros(dim)))
-    flow = Flow(dim=dim, blocks=blocks, latent_name=latent_name, offset=offset)
+    flow = Flow(dim=dim, blocks=blocks, latent_name=latent_name,
+                offset=offset, qmc=qmc)
     params = flow.init(key, dtype=dtype)
     return flow, params

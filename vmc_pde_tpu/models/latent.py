@@ -163,7 +163,7 @@ def double_well_log_prob(latent_params, dim: int, x):
 
 
 def student_t_tempered_sample(key, latent_params, dim: int, n: int,
-                              gamma, dtype=jnp.float32):
+                              gamma, dtype=jnp.float32, qmc: bool = False):
     """Tail-tempered importance proposal for Student-t TDVP statistics
     (no reference counterpart; targets the heavy-tail MC bias isolated in
     BENCHMARKS.md's Student-t ablation): draw z from the HEAVIER-tailed
@@ -179,7 +179,7 @@ def student_t_tempered_sample(key, latent_params, dim: int, n: int,
     q_params = dict(latent_params)
     q_params["dist_params"] = jnp.log(nu_q - 1.0).reshape(1).astype(
         latent_params["dist_params"].dtype)
-    z = sample("Student_t", key, q_params, dim, n, dtype)
+    z = sample("Student_t", key, q_params, dim, n, dtype, qmc=qmc)
     log_w = jax.vmap(
         lambda v: student_t_log_prob(latent_params, dim, v)
         - student_t_log_prob(q_params, dim, v)
@@ -199,20 +199,43 @@ def log_prob(name: str, latent_params, dim: int, x):
     raise ValueError(f"unknown latent distribution {name!r}")
 
 
-def sample(name: str, key, latent_params, dim: int, n: int, dtype=jnp.float32):
+def sample(name: str, key, latent_params, dim: int, n: int, dtype=jnp.float32,
+           qmc: bool = False):
     """Draw n latent samples, shape (n, dim). Keyed and device-resident.
 
     Gauss:      z = mu + L eps                      (sampler.py:25-26)
     Student_t:  z = mu + L eps * sqrt(nu / chi2_nu) (sampler.py:29-34, keyed)
+
+    ``qmc=True`` draws eps (and the Student-t chi^2) from a randomized
+    scrambled-Sobol net instead of iid pseudo-randoms (sampling/qmc.py):
+    same key semantics (a fresh key gives an independent randomization),
+    markedly lower estimator error for the smooth latent-expectation
+    integrands of the TDVP statistics. No reference counterpart.
     """
     if name not in EXACT_NAMES:
         raise ValueError(f"no closed-form sampler for latent {name!r}")
     k_eps, k_chi = jax.random.split(key)
     L = chol_factor(latent_params, dim).astype(dtype)
-    eps = jax.random.normal(k_eps, (n, dim), dtype=dtype)
+    if qmc:
+        from ..sampling import qmc as _qmc
+
+        # one (dim + 1)-dimensional net: the chi^2 mixing variable is the
+        # extra QMC coordinate, so radius and directions equidistribute
+        # JOINTLY for Student-t (two independent nets would not)
+        if name == "Student_t":
+            bits = _qmc.scrambled_bits(k_eps, dim + 1, n)
+            eps = _qmc._mirrored_ndtri(bits[:, :dim],
+                                       jnp.dtype(dtype).type)
+        else:
+            eps = _qmc.normal(k_eps, n, dim, dtype=dtype)
+    else:
+        eps = jax.random.normal(k_eps, (n, dim), dtype=dtype)
     z = eps @ L.T
     if name == "Student_t":
         nu = nu_value(latent_params).astype(dtype)
-        u = jax.random.chisquare(k_chi, nu, shape=(n,), dtype=dtype)
+        if qmc:
+            u = _qmc.chi2_from_bits(bits[:, dim], nu, dtype=dtype)
+        else:
+            u = jax.random.chisquare(k_chi, nu, shape=(n,), dtype=dtype)
         z = z * jnp.sqrt(nu / u)[:, None]
     return z + latent_params["mu"].astype(dtype)
