@@ -94,12 +94,44 @@ def sobol_bits(dim: int, n: int):
     return acc
 
 
+def _lms_directions(key, dim: int):
+    """Matousek linear-matrix-scrambled direction numbers: per dimension a
+    random unit-diagonal lower-triangular GF(2) matrix M maps digit vectors
+    a -> M a, which commutes with the Sobol XOR construction -- so it is
+    applied ONCE to the (30, dim) direction table instead of per point
+    (the same construction scipy's Sobol(scramble=True) uses). Digit b
+    (most significant first) lives at bit 29-b of the uint32 word; column
+    c of M is the word with bit 29-c set (unit diagonal) and random bits
+    strictly below it (rows b > c)."""
+    V = jnp.asarray(direction_numbers(dim))  # (30, dim)
+    rnd = jax.random.bits(key, (_BITS, dim), dtype=jnp.uint32)
+    out = jnp.zeros_like(V)
+    for c in range(_BITS):
+        col_mask = np.uint32((1 << (_BITS - 1 - c)) - 1)  # rows b > c
+        mcol = (rnd[c] & col_mask) | np.uint32(1 << (_BITS - 1 - c))
+        digit_c = (V >> (_BITS - 1 - c)) & 1  # (30, dim)
+        out = out ^ (digit_c * mcol[None, :])
+    return out
+
+
 def scrambled_bits(key, dim: int, n: int):
-    """Digitally-shifted Sobol points: bits XOR a per-dimension random
-    30-bit shift derived from ``key``. Each call with a fresh key is an
-    independent unbiased randomization of the same underlying net."""
-    shift = jax.random.bits(key, (dim,), dtype=jnp.uint32) & _MASK
-    return sobol_bits(dim, n) ^ shift[None, :]
+    """Scrambled Sobol points: Matousek linear matrix scramble of the
+    direction numbers + a random digital shift, both derived from ``key``.
+    Each call with a fresh key draws an independent, unbiased random net --
+    not merely a shifted copy of one fixed net (a shift-only randomization
+    leaves the net's internal structure identical across calls, which lets
+    structured estimator errors persist across time steps; the LMS
+    re-randomizes that structure per call)."""
+    k_lms, k_shift = jax.random.split(key)
+    V = _lms_directions(k_lms, dim)
+    shift = jax.random.bits(k_shift, (dim,), dtype=jnp.uint32) & _MASK
+    i = jnp.arange(n, dtype=jnp.uint32)
+    gray = i ^ (i >> 1)
+    acc = jnp.zeros((n, dim), dtype=jnp.uint32)
+    for k in range(_BITS):
+        bit = ((gray >> k) & 1).astype(jnp.uint32)[:, None]
+        acc = acc ^ (bit * V[k][None, :])
+    return acc ^ shift[None, :]
 
 
 def _mirrored_ndtri(bits, dtype):
