@@ -208,6 +208,18 @@ def test_qmc_scramble_key_semantics():
     # half [0, 2^29) / [2^29, 2^30) gets exactly half the points
     top = (b1 >> 29) & 1
     np.testing.assert_array_equal(top.sum(axis=0), 32)
+    # the LMS + shift preserves the (0, m, 1)-net property of every 1-D
+    # projection: the first 2^m points occupy each dyadic cell of width
+    # 2^-m exactly once, at every level j <= m. This holds iff the
+    # scramble matrices are invertible (unit lower-triangular in GF(2)),
+    # so it pins the _lms_directions construction.
+    for seed in range(4):
+        b = np.asarray(qmc.scrambled_bits(jax.random.PRNGKey(seed), 6, 64))
+        for j in (1, 2, 3, 6):
+            cells = b >> (30 - j)                       # (64, 6) in [0, 2^j)
+            for dim_col in cells.T:
+                counts = np.bincount(dim_col, minlength=2**j)
+                np.testing.assert_array_equal(counts, 64 // 2**j)
 
 
 def test_qmc_normal_variance_reduction():
