@@ -21,11 +21,15 @@ Design (TPU-native):
   sample axis, so it shards over ``dp`` with zero communication and costs
   ~one HBM pass of the latent batch. No host-side table of points, nothing
   baked into the executable beyond the tiny direction table.
-- Randomization is a per-call random digital shift (XOR with 30 uniform
-  random bits per dimension, derived from the call's PRNG key): each call
-  yields an unbiased estimator, fresh across steps/stages, while keeping
-  the net's equidistribution. This is the standard shift-RQMC construction
-  (Lemieux, "Monte Carlo and Quasi-Monte Carlo Sampling", ch. 6).
+- Randomization is a per-call Matousek linear-matrix scramble of the
+  direction table plus a random digital shift (both derived from the
+  call's PRNG key): each call draws an independent random (t, s)-net --
+  unbiased, fresh across steps/stages, equidistribution preserved. The
+  LMS matters for time evolution: a shift-only randomization reuses ONE
+  fixed net's internal structure every step, letting structured estimator
+  errors persist across the trajectory; the scramble re-randomizes that
+  structure per call (same construction scipy's Sobol(scramble=True)
+  uses; Matousek 1998, J. Complexity).
 - Uniforms map to Gaussians through the inverse CDF (jax.scipy.special
   ndtri) with a mirror trick: the integer grid is reflected exactly in
   uint32 (v = 2^30-1-bits), and the half with the SMALLER uniform is
