@@ -100,6 +100,18 @@ def build_problem(cfg: RunConfig):
         precision=precision,
     )
 
+    if (cfg.solve_on_device and precision.solve == jnp.float64
+            and jax.default_backend() == "tpu" and is_coordinator()):
+        # The f64-emulated on-device eigh has produced NaN eigenvectors
+        # (utils/dtypes.py tpu_default docstring) and, with QMC latents,
+        # reproducible TPU-worker kernel faults on this image. Warn rather
+        # than reject: the plain tpu_f64stats+gram-f64 combination has run
+        # clean, and host behavior may differ across jaxlib versions.
+        print("WARNING: on-device f64 solve on TPU uses the emulated-f64 "
+              "eigh, which has been observed to return NaN eigenvectors "
+              "and (rarely) fault the TPU worker; prefer --host-solve "
+              "(solve_on_device=False) with f64 solve dtypes.")
+
     # Exact-latent workloads integrate with fused stepper stages: the whole
     # Heun pair / adaptive attempt is one dispatch with dt traced (the MCMC
     # path keeps per-stage dispatch -- its chain state lives on the host).
