@@ -38,6 +38,8 @@ def main(argv=None):
                          "split-kernel pair path)")
     ap.add_argument("--temperature", type=float, default=10.0)
     ap.add_argument("--precision", type=str, default="tpu")
+    ap.add_argument("--qmc", action="store_true",
+                    help="randomized-QMC latent sampling (sampling/qmc.py)")
     ap.add_argument("--aot-dir", type=str, default=None)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", type=str, default=None)
@@ -70,7 +72,7 @@ def main(argv=None):
         dt0=args.dt, max_step=args.dt, t_end=args.dt * (args.steps + 1),
         n_samples_tdvp=args.n, n_samples_obs=args.n,
         chunk_size=args.chunk,
-        precision=args.precision, verbose=False,
+        precision=args.precision, verbose=False, qmc=args.qmc,
         steps_per_dispatch=args.k, aot_dir=args.aot_dir,
     )
     t0 = time.time()
@@ -98,11 +100,40 @@ def main(argv=None):
     rel = np.abs(md - od) / np.maximum(np.abs(od), 1e-9)
     # momentum coordinates (odd indices) heat toward T; discriminate
     p_growth = md[-1, 1::2].mean() / md[0, 1::2].mean()
+
+    # EXACT judge: the system is a linear (OU) SDE -- per (q, p) pair
+    # A = [[0, 1], [-1, -gamma]], B = diag(0, 2 gamma T), C(0) = I -- so
+    # the true covariance obeys the Lyapunov ODE dC/dt = A C + C A^T + B
+    # with no sampling noise. RK4 at h = t/4000 is exact to ~1e-13;
+    # unlike the oracle-cloud comparison above this isolates the
+    # INN+TDVP error from the judge's own MC scatter.
+    A2 = np.array([[0.0, 1.0], [-1.0, -1.0]])
+    B2 = np.diag([0.0, 2.0 * T])
+    exact_diag = np.empty((n_rec, 2))
+    for r in range(n_rec):
+        C = np.eye(2)
+        n_sub = 4000
+        h = m_t[r] / n_sub if m_t[r] > 0 else 0.0
+        for _ in range(n_sub if h else 0):
+            k1 = A2 @ C + C @ A2.T + B2
+            C2 = C + h / 2 * k1
+            k2 = A2 @ C2 + C2 @ A2.T + B2
+            C3 = C + h / 2 * k2
+            k3 = A2 @ C3 + C3 @ A2.T + B2
+            C4 = C + h * k3
+            k4 = A2 @ C4 + C4 @ A2.T + B2
+            C = C + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        exact_diag[r] = np.diag(C)
+    ed = np.tile(exact_diag, (1, dim // 2))           # (n_rec, 32) q,p,...
+    rel_exact = np.abs(md - ed) / np.maximum(np.abs(ed), 1e-9)
+
     summary = dict(
         steps=int(len(m_t)), wall_s=round(wall, 1),
         residual_median=float(np.median(infos["solver_res"])),
         cov_diag_rel_err_max=float(rel.max()),
         cov_diag_rel_err_mean=float(rel.mean()),
+        cov_diag_exact_rel_err_max=float(rel_exact.max()),
+        cov_diag_exact_rel_err_mean=float(rel_exact.mean()),
         momentum_var_growth=float(p_growth),
         entropy_finite=bool(np.isfinite(infos["entropy"]).all()),
     )
