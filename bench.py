@@ -31,6 +31,7 @@ Run: python bench.py [--dim 32] [--samples 16384] [--quick] [--stages]
 
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -70,42 +71,53 @@ def build(dim, depth, n_samples, precision_name="tpu", chunk=0,
     return state, tdvp
 
 
-def device_time_per_rhs(state, tdvp, K=10, label="fused"):
+def device_time_per_rhs(state, tdvp, K=10, label="fused", aot_dir=None):
     """Pure device time of one fused RHS: K iterations inside one jitted
     fori_loop, chained through the parameter vector, every aux leaf summed
-    into the carry so nothing is dead-code-eliminated."""
+    into the carry so nothing is dead-code-eliminated. The final
+    iteration's solver residual rides the carry out as the correctness
+    diagnostic (no separate single-RHS program to compile).
+
+    ``aot_dir``: persist/load the compiled loop executable via the AOT
+    cache (utils/aot.py) so fresh processes skip the minutes-long remote
+    TPU compile; no-ops on non-TPU backends."""
     import jax
     import jax.numpy as jnp
+
+    from vmc_pde_tpu.utils import aot
 
     theta = jnp.asarray(state.get_parameters(), tdvp.precision.compute)
     key = jax.random.PRNGKey(0)
     n, n_obs = tdvp.n_samples, tdvp.n_samples_obs
 
     def body(i, carry):
-        th, acc = carry
+        th, acc, _ = carry
         aux = tdvp._rhs_impl(th, 0.0, jax.random.fold_in(key, i),
                              None, None, None, None, n, n_obs)
         s = sum(jnp.sum(v).astype(jnp.float32)
                 for v in jax.tree.leaves(aux))
-        return th + 0.0 * aux["update"].astype(th.dtype), acc + s
+        return (th + 0.0 * aux["update"].astype(th.dtype), acc + s,
+                aux["solver_res"].astype(jnp.float32))
 
     @jax.jit
     def loop(th):
-        return jax.lax.fori_loop(0, K, body, (th, jnp.float32(0)))
+        return jax.lax.fori_loop(
+            0, K, body, (th, jnp.float32(0), jnp.float32(0)))
 
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(theta))
+    run = aot.load_or_compile(loop, (theta,), cache_dir=aot_dir,
+                              tag=f"bench_loop_{label.replace(' ', '_')}",
+                              verbose=bool(aot_dir))
+    out = jax.block_until_ready(run(theta))
     log(f"{label}: compile+first ({K} RHS): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(theta))
+    out = jax.block_until_ready(run(theta))
     dt = (time.perf_counter() - t0) / K
 
-    # one eager call for the correctness diagnostics
-    u, aux = tdvp.rhs(theta, 0.0, key)
-    jax.block_until_ready(u)
+    residual = float(out[2])
     log(f"{label}: {dt * 1e3:.1f} ms/rhs (device), residual "
-        f"{float(aux['solver_res']):.2e}")
-    return dt, float(aux["solver_res"])
+        f"{residual:.2e}")
+    return dt, residual
 
 
 def mfu_report(dt, n, P, dim, gram_passes=3, peak_bf16_tflops=197.0):
@@ -288,6 +300,14 @@ def main():
                          "(int8 = per-column-quantized, 2x the bf16 rate)")
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky", "cg", "minsr"])
+    ap.add_argument("--aot-dir", type=str,
+                    default=os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        ".aot_cache"),
+                    help="AOT executable cache dir (utils/aot.py): fresh "
+                         "processes load the compiled bench programs in "
+                         "~1 s instead of recompiling 1-12 min through "
+                         "the remote TPU tunnel; '' disables")
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke testing")
     ap.add_argument("--stages", action="store_true",
@@ -355,7 +375,10 @@ def main():
     log(f"dim={args.dim} n_params={state.numParameters} "
         f"n_samples={tdvp.n_samples}")
 
-    dt_fused, residual = device_time_per_rhs(state, tdvp, label=f"fused d{args.dim}")
+    aot_dir = args.aot_dir or None
+    dt_fused, residual = device_time_per_rhs(state, tdvp,
+                                             label=f"fused d{args.dim}",
+                                             aot_dir=aot_dir)
     sps = tdvp.n_samples / dt_fused / n_chips
     log(f"fused: {dt_fused * 1e3:.2f} ms/rhs -> {sps:,.0f} samples/s/chip")
     # sym2 executes the f32-grade Gram in 2 MXU passes instead of HIGH's
@@ -390,7 +413,8 @@ def main():
         log(f"baseline shape: dim=8 n_params={st8.numParameters} "
             f"n_samples={td8.n_samples} solver=eigh (reference "
             f"main.py:108-118)")
-        dt8, res8 = device_time_per_rhs(st8, td8, label="fused d8")
+        dt8, res8 = device_time_per_rhs(st8, td8, label="fused d8",
+                                        aot_dir=aot_dir)
         dt_ref = bench_reference_style(st8, td8, 3)
         vs = dt_ref / dt8
         log(f"reference-style (matched shape+solver): "
