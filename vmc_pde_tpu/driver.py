@@ -20,7 +20,7 @@ import numpy as np
 from .config import RunConfig, latent_for_sampler
 from .models.flow import build_flow
 from .models.state import VarState
-from .ops.evolution import make_equation
+from .ops.evolution import Equation, make_equation
 from .parallel.mesh import ParallelCtx, is_coordinator
 from .sampling.sampler import Sampler
 from .solver.steppers import AdaptiveHeun, AdaptiveRK23, FixedStepper
@@ -66,7 +66,14 @@ def build_problem(cfg: RunConfig):
         sample_key=cfg.sample_seed,
     )
 
-    equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
+    # cfg.equation: registry name (the reference's evolutionEq.py:54-77
+    # name->RHS mapping) or a user-supplied Equation instance -- custom
+    # physics plugs into the full driver (fused steppers, checkpointing,
+    # diagnostics) without forking it. See examples/custom_equation.py.
+    if isinstance(cfg.equation, Equation):
+        equation = cfg.equation
+    else:
+        equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
 
     tdvp_cfg = TDVPConfig(
         use_snr=cfg.use_snr,
