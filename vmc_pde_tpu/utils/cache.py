@@ -15,6 +15,17 @@ DEFAULT_DIR = os.path.expanduser("~/.cache/vmc_pde_tpu_xla")
 
 
 def enable_compilation_cache(path: str = DEFAULT_DIR) -> None:
+    # XLA:CPU persistent-cache loads go through the CPU AOT deserializer,
+    # whose machine-feature check false-positives on this image (compile
+    # entries carry XLA tuning pseudo-features like +prefer-no-scatter the
+    # host detector never reports) and can silently drop compiled symbols,
+    # surfacing as flaky "Function <fusion> not found" dispatch failures
+    # (utils/aot.py SUPPORTED_BACKENDS rationale). The cache exists for
+    # the minutes-long remote TPU compiles; CPU compiles are cheap --
+    # skip the cache there. VMC_CPU_CACHE=1 opts back in.
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("VMC_CPU_CACHE", "0") != "1"):
+        return
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
