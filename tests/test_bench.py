@@ -27,10 +27,12 @@ def test_device_time_per_rhs_contract(tmp_path):
     # even on CPU, so the solve residual sits at f32 scale, not 1e-14
     assert np.isfinite(res) and 0 < res < 1e-4
 
-    # aot_dir on the CPU backend: transparent no-op, identical residual
+    # aot_dir on the CPU backend: transparent no-op, same residual (the
+    # two compilations may differ by fp-reassociation ulps if compilation
+    # choices ever vary, so compare tightly rather than bitwise)
     dt2, res2 = bench.device_time_per_rhs(state, tdvp, K=2, label="smoke",
                                           aot_dir=str(tmp_path))
-    assert res2 == res
+    assert np.isfinite(res2) and np.isclose(res2, res, rtol=1e-6, atol=0)
 
 
 def test_build_solver_and_backend_selection():

@@ -747,3 +747,70 @@ def test_custom_equation_instance():
     assert np.abs(mean0 - mean0_exact).max() < 5e-3
     assert np.abs(var - var_exact[:, None]).max() < 2e-2
     assert np.median(np.asarray(infos["solver_res"])) < 1e-10
+
+
+def test_driver_init_params_from_pretrain(tmp_path):
+    """Pretrain -> evolve handoff (the reference sketches it commented out,
+    vmc_fluids/main.py:120-125): pretrain a flow on synthetic data, persist
+    the orbax checkpoint, and start the evolution from it via
+    RunConfig.init_params / --init-params."""
+    import dataclasses
+
+    from vmc_pde_tpu.driver import load_init_params
+    from vmc_pde_tpu.pretrain.train import gen_data, train
+    from vmc_pde_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = preset(
+        "mwe", n_samples_tdvp=256, n_samples_obs=256, dt0=1e-3,
+        t_end=1.0, precision="f64", verbose=False, grid_points=50,
+    )
+    state, *_ = build_problem(cfg)
+    data, _ = gen_data((1000, 2), mode="standard_normal", std=1.3)
+    train(state, np.asarray(data, dtype=np.float64), batchsize=200,
+          epochs=3, workdir=str(tmp_path), checkpoint_every=2)
+    theta_pre = np.asarray(state.get_parameters())
+    ckpt = str(tmp_path / "pretrain_ckpt")
+
+    # orbax-dir route: the loaded vector IS the pretrained one
+    th0 = np.asarray(load_init_params(ckpt, state))
+    np.testing.assert_allclose(th0, theta_pre, rtol=0, atol=1e-12)
+
+    # the run starts FROM it (max_steps=0 leaves parameters untouched)
+    cfg2 = dataclasses.replace(cfg, init_params=ckpt)
+    state2, _ = run(cfg2, max_steps=0)
+    np.testing.assert_allclose(np.asarray(state2.get_parameters()),
+                               theta_pre, rtol=0, atol=1e-12)
+
+    # ... and evolves from it without blowing up
+    state3, rec3 = run(cfg2, max_steps=2)
+    infos = rec3.as_arrays()
+    assert len(infos["times"]) == 2
+    assert np.isfinite(np.asarray(infos["entropy"])).all()
+
+    # npz evolution-checkpoint route
+    save_checkpoint(str(tmp_path), 7, 0.5, theta_pre, 1e-3)
+    th_npz = np.asarray(load_init_params(
+        str(tmp_path / "ckpt_latest.npz"), state))
+    np.testing.assert_allclose(th_npz, theta_pre, rtol=0, atol=0)
+
+    # mismatched architecture fails loudly
+    cfg_big = preset("diffusion")
+    state_big, *_ = build_problem(
+        dataclasses.replace(cfg_big, precision="f64"))
+    with pytest.raises(ValueError, match="must match"):
+        load_init_params(str(tmp_path / "ckpt_latest.npz"), state_big)
+
+
+def test_build_problem_rejects_params_with_equation_instance():
+    """An Equation INSTANCE plus non-empty equation_params is a config
+    contradiction (the params would be silently dropped) -- rejected."""
+    import dataclasses
+
+    from vmc_pde_tpu.ops.evolution import make_equation
+
+    eq = make_equation("diffusion", 2)
+    cfg = preset("mwe")
+    cfg = dataclasses.replace(cfg, equation=eq,
+                              equation_params={"D": 2.0})
+    with pytest.raises(ValueError, match="equation_params"):
+        build_problem(cfg)

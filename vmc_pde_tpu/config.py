@@ -137,6 +137,13 @@ class RunConfig:
     async_recorder: bool = False
     checkpoint_every: int = 0       # steps; 0 = off
     resume: bool = False            # resume from workdir's latest checkpoint
+    # Start the evolution from stored parameters instead of the random
+    # init: a pretrain orbax checkpoint directory (pretrain/train.py
+    # workdir/pretrain_ckpt) or an evolution npz checkpoint
+    # (utils/checkpoint.py). Closes the reference's commented-out
+    # pretrain -> evolve handoff (vmc_fluids/main.py:120-125). The flow
+    # architecture must match the one that produced the checkpoint.
+    init_params: Optional[str] = None
     profile_dir: Optional[str] = None  # capture a jax.profiler trace here
     profile_steps: Tuple[int, int] = (5, 8)  # [start, end) steps to trace
     nan_check_every: int = 10       # non-verbose NaN-abort sync cadence

@@ -4,8 +4,10 @@ time evolution, recording the reference-compatible infos schema.
 Parity with vmc_fluids/main.py:69-211 (wiring, time loop, per-step logging,
 periodic 2D normalization check, HDF5 dump) with the reference's
 manual-checklist knobs handled by RunConfig presets and real parameter
-checkpointing added (orbax/pickle; the reference only persisted diagnostics,
-SURVEY.md section 5.4).
+checkpointing added (atomic npz of {theta, t, step, dt} --
+utils/checkpoint.py; the reference only persisted diagnostics, SURVEY.md
+section 5.4). ``init_params`` starts the evolution from a pretrained flow
+(the reference's commented-out pretrain->evolve handoff, main.py:120-125).
 """
 
 from __future__ import annotations
@@ -71,6 +73,14 @@ def build_problem(cfg: RunConfig):
     # physics plugs into the full driver (fused steppers, checkpointing,
     # diagnostics) without forking it. See examples/custom_equation.py.
     if isinstance(cfg.equation, Equation):
+        if cfg.equation_params:
+            raise ValueError(
+                "RunConfig.equation is an Equation INSTANCE, so "
+                f"equation_params {sorted(cfg.equation_params)} would be "
+                "silently ignored -- construct the instance with those "
+                "parameters instead (equation_params applies to registry "
+                "names only)"
+            )
         equation = cfg.equation
     else:
         equation = make_equation(cfg.equation, cfg.dim, **cfg.equation_params)
@@ -148,6 +158,45 @@ def build_problem(cfg: RunConfig):
         grid = Grid(np.ones(2) * cfg.grid_bound, cfg.grid_points, sym=cfg.sym_grid)
 
     return state, tdvp, stepper, equation, grid
+
+
+def load_init_params(path: str, state) -> jnp.ndarray:
+    """Flat master-precision parameter vector from a stored checkpoint:
+    a pretrain orbax directory ({params, opt_state, epoch} as written by
+    pretrain.train) or an evolution npz checkpoint ({theta, ...},
+    utils/checkpoint.py). The reference sketches this handoff but never
+    wires it (vmc_fluids/main.py:120-125, commented out)."""
+    if os.path.isdir(path):
+        import optax
+
+        from .ops.score import flat_param_view
+        from .utils.checkpoint import load_pytree
+
+        # template with the adam state STRUCTURE (lr never affects it)
+        template = dict(params=state.params,
+                        opt_state=optax.adam(1e-3).init(state.params),
+                        epoch=0)
+        tree = load_pytree(path, template)
+        flat, _ = flat_param_view(tree["params"])
+        # through host numpy: orbax restores committed single-device
+        # arrays, which a multi-device mesh program would reject
+        return jnp.asarray(np.asarray(flat), dtype=state.precision.master)
+    with np.load(path) as z:
+        if "theta" not in z:
+            raise ValueError(
+                f"init_params npz {path!r} has no 'theta' array "
+                f"(found {sorted(z.files)}); expected an evolution "
+                "checkpoint (utils/checkpoint.py) or a pretrain orbax "
+                "directory"
+            )
+        theta = np.asarray(z["theta"])
+    if theta.shape != (state.numParameters,):
+        raise ValueError(
+            f"init_params {path!r} holds {theta.shape} parameters; this "
+            f"flow has ({state.numParameters},) -- the architectures "
+            "must match"
+        )
+    return jnp.asarray(theta, dtype=state.precision.master)
 
 
 def s_metric_norm(v, S):
@@ -254,6 +303,13 @@ def run(cfg: RunConfig, max_steps: int = 10**9, callbacks=()):
                                   verbose=cfg.verbose)
 
     theta = state.get_parameters()
+    if cfg.init_params:
+        # pretrain -> evolve handoff (main.py:120-125); --resume below
+        # still wins when a later evolution checkpoint exists
+        theta = load_init_params(cfg.init_params, state)
+        state.set_parameters(theta)
+        if cfg.verbose:
+            print(f"initialized parameters from {cfg.init_params}")
     t = 0.0
     dt = stepper.dt
     n_step = 0
@@ -529,6 +585,11 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the workdir's latest checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--init-params", type=str, default=None,
+                   help="start the evolution from stored parameters: a "
+                        "pretrain orbax checkpoint dir (pretrain/train.py) "
+                        "or an evolution npz checkpoint; the flow "
+                        "architecture must match")
     p.add_argument("--async-recorder", action="store_true",
                    help="also stream per-step metrics through the native "
                         "C++ async recorder into <workdir>/metrics.bin")
@@ -633,6 +694,8 @@ def main(argv=None):
         overrides["resume"] = True
     if args.checkpoint_every:
         overrides["checkpoint_every"] = args.checkpoint_every
+    if args.init_params is not None:
+        overrides["init_params"] = args.init_params
     if args.async_recorder:
         overrides["async_recorder"] = True
     if args.aot_dir is not None:

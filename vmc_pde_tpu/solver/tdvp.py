@@ -151,6 +151,23 @@ class TDVPConfig:
     # sample. "block": always the jvp-of-grad block (reference-shaped,
     # var_state.py:32). "auto" = trace whenever the equation allows it.
     hessian_mode: str = "auto"
+    # Statistics partitioning on multi-device meshes. "gspmd": the whole
+    # stats block is ordinary sharded jit -- XLA inserts one all-reduce
+    # per sample-contracting dot_general (sym2: 2 per Gram; tri2 would be
+    # K+1, which is why round-3 gated it off meshes). "shard_map": the
+    # stats block runs as a per-device manual program -- every Gram
+    # backend (tri2 included) accumulates raw LOCAL products, the
+    # triangle strips are assembled per device, and ONE psum of the
+    # finished (P, P) moments crosses the fabric per statistics
+    # evaluation (per RHS, not per chunk: the chunked scan accumulates
+    # locally). The int8 cross pass quantizes each dp shard with its own
+    # per-column scales and de-scales BEFORE the psum, so it needs no
+    # amax collective at all -- the two round-3 objections to tri2/int8
+    # on meshes dissolve rather than get paid. "auto" picks shard_map on
+    # dp-only meshes (tp=1) for the stats-based solvers (eigh/cholesky)
+    # outside the IS/clip edge modes, and gspmd elsewhere (tp>1 keeps
+    # the Gram's reduce-scatter-into-tp layout).
+    stats_partitioning: str = "auto"
     # Per-sample pipeline backend. "xla": vmapped value_and_grad +
     # quad_trace fused by XLA (the measured default). "pallas": the fused
     # per-sample Pallas kernel (kernels/persample.py) -- forward flow,
@@ -704,6 +721,18 @@ class TDVP:
                     f"equation {equation.name!r} needs the full Hessian "
                     "block; hessian_mode='trace' is not available"
                 )
+        elif (self._hess_idx is None
+              and equation.hessian_trace_dirs(self.flow.dim) is not None):
+            # a trace-only equation (hessian_coords -> None, trace_dirs
+            # set, as in examples/custom_equation.py) has no block to
+            # build; without this check eloc would later crash on
+            # hess=None with an opaque TypeError
+            raise ValueError(
+                f"equation {equation.name!r} declares only "
+                "hessian_trace_dirs (no hessian_coords block), so "
+                "hessian_mode='block' cannot serve it; use "
+                "hessian_mode='auto' or 'trace'"
+            )
 
         # Fused per-sample Pallas kernel (kernels/persample.py).
         if cfg.per_sample_backend not in ("auto", "xla", "pallas"):

@@ -15,6 +15,13 @@ DEFAULT_DIR = os.path.expanduser("~/.cache/vmc_pde_tpu_xla")
 
 
 def enable_compilation_cache(path: str = DEFAULT_DIR) -> None:
+    """Point the persistent XLA cache at ``path`` (TPU-class backends only).
+
+    NOTE: reading ``jax.default_backend()`` below initializes the JAX
+    backend as a side effect -- call this only AFTER the platform is
+    configured (jax_platforms / JAX_PLATFORMS), or the platform choice
+    gets pinned prematurely. All in-repo call sites (driver.run, bench,
+    dryrun) configure the platform first."""
     # XLA:CPU persistent-cache loads go through the CPU AOT deserializer,
     # whose machine-feature check false-positives on this image (compile
     # entries carry XLA tuning pseudo-features like +prefer-no-scatter the
