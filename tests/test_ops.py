@@ -223,3 +223,60 @@ def test_double_well_velocity_minima_are_fixed_points():
         v = evolution.velocity_field_hamiltonian(
             jnp.array([xw, 0.0]), t=0.0, v2=-4.0, lam=1.0)
         np.testing.assert_allclose(np.asarray(v), [0.0, 0.0], atol=1e-12)
+
+
+def test_fokker_planck_per_site_temperatures():
+    """Per-site bath temperatures (heat-transport chain; beyond the
+    reference, whose shipped code only supports a scalar T,
+    evolutionEq.py:75,113): the closed form on the identity flow, the
+    uniform-tuple == scalar identity, and trace-path == block-path
+    equality with non-uniform T (the sqrt(T)-scaled trace directions)."""
+    dim = 6
+    fl, params = identity_flow(dim)
+    Ts = (10.0, 5.0, 2.5)
+    eq = evolution.FokkerPlanck(T=Ts, coupled=True)
+    assert isinstance(evolution.FokkerPlanck(T=[1.0, 2.0, 3.0]).T, tuple)
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(7, dim)))
+    eloc = _eloc(eq, fl, params, x)
+    # identity flow: g = -x, H = -I. diff_i = gamma T_i (p_i^2 - 1)
+    xa = np.asarray(x)
+    p = xa[:, 1::2]
+    diff = np.sum(np.asarray(Ts) * (p**2 - 1.0), axis=-1)
+    damp = -np.sum(p * p, axis=-1)
+    # advection: coupled-chain velocity; compute from the equation itself
+    theta, unravel = score.flat_param_view(params)
+    f = score.make_flat_log_prob(fl, unravel)
+    _, g, _ = jax.vmap(partial(score.value_score_and_param_grad, f),
+                       in_axes=(None, 0))(theta, x)
+    adv = -np.sum(np.asarray(g) * np.asarray(eq.velocity(x, 0.0)), axis=-1)
+    np.testing.assert_allclose(np.asarray(eloc), adv + diff + damp,
+                               rtol=1e-10)
+
+    # uniform tuple == scalar
+    e_tup = _eloc(evolution.FokkerPlanck(T=(4.0,) * 3), fl, params, x)
+    e_sc = _eloc(evolution.FokkerPlanck(T=4.0), fl, params, x)
+    np.testing.assert_allclose(np.asarray(e_tup), np.asarray(e_sc),
+                               rtol=1e-12)
+
+    # trace path == block path with NON-uniform T (nontrivial flow)
+    fl2, params2 = nontrivial_flow(dim)
+    theta2, unravel2 = score.flat_param_view(params2)
+    f2 = score.make_flat_log_prob(fl2, unravel2)
+    x2 = jax.random.normal(jax.random.PRNGKey(5), (9, dim),
+                           dtype=jnp.float64)
+    _, g2, _ = jax.vmap(partial(score.value_score_and_param_grad, f2),
+                        in_axes=(None, 0))(theta2, x2)
+    hb = jax.vmap(
+        partial(score.hessian_block, f2, idx=tuple(eq.hessian_coords(dim))),
+        in_axes=(None, 0))(theta2, x2)
+    dirs = jnp.asarray(eq.hessian_trace_dirs(dim), dtype=x2.dtype)
+    ht = jax.vmap(partial(score.quad_trace, f2, dirs=dirs),
+                  in_axes=(None, 0))(theta2, x2)
+    np.testing.assert_allclose(
+        np.asarray(eq.eloc(x2, g2, ht, 0.0)),
+        np.asarray(eq.eloc(x2, g2, hb, 0.0)), atol=1e-9)
+
+    # wrong tuple length fails loudly
+    with pytest.raises(ValueError, match="pairs"):
+        _eloc(evolution.FokkerPlanck(T=(1.0, 2.0)), fl, params, x)

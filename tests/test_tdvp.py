@@ -1305,3 +1305,51 @@ def test_rk23_attempt_fused_matches_plain(ctx1):
     np.testing.assert_allclose(a_fused.dt, a_plain.dt, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
                                rtol=1e-6, atol=1e-12)
+
+
+def test_cholesky_use_snr_ritz_gating(ctx1):
+    """use_snr on the cholesky path (round-4 item 8: previously silently
+    disabled): with spectrum_topk covering the full spectrum at small P,
+    the Ritz-gated Tikhonov update must track the eigh path's SNR-gated
+    update, and gating with a high snr_tol must actually suppress the
+    low-SNR components (shrink the update toward the high-SNR subspace)."""
+    snr_tol = 10.0
+    cfg_e = TDVPConfig(solver_method="eigh", use_snr=True, snr_tol=snr_tol)
+    cfg_c = TDVPConfig(solver_method="cholesky", use_snr=True,
+                       snr_tol=snr_tol, spectrum_topk=256)
+    cfg_c0 = TDVPConfig(solver_method="cholesky", compute_snr=True,
+                        spectrum_topk=256)
+    st, t_e = make_problem(ctx1, dim=2, n=4096, cfg=cfg_e)
+    _, t_c = make_problem(ctx1, dim=2, n=4096, cfg=cfg_c)
+    _, t_c0 = make_problem(ctx1, dim=2, n=4096, cfg=cfg_c0)
+    assert t_c.cfg.use_snr and t_c.cfg.compute_snr  # no silent disable
+
+    key = jax.random.PRNGKey(33)
+    theta = st.get_parameters()
+    u_e, _ = t_e.rhs(theta, 0.0, key)
+    u_c, a_c = t_c.rhs(theta, 0.0, key)
+    u_c0, _ = t_c0.rhs(theta, 0.0, key)
+
+    # gating engaged and suppressed something
+    n_gated = int(np.sum(np.asarray(a_c["snr_topk"]) < snr_tol))
+    assert n_gated > 0
+    assert float(jnp.linalg.norm(u_c)) < float(jnp.linalg.norm(u_c0))
+
+    # SNR-gated cholesky tracks SNR-gated eigh (base filters differ at
+    # svd_tol-class modes, hence the cosine bar, as in
+    # test_cholesky_solver_matches_eigh_physics)
+    cos = float(u_e @ u_c / (jnp.linalg.norm(u_e) * jnp.linalg.norm(u_c)))
+    assert cos > 0.99, cos
+    # ... and is closer to it than the ungated Tikhonov update is
+    d_gated = float(jnp.linalg.norm(u_c - u_e))
+    d_ungated = float(jnp.linalg.norm(u_c0 - u_e))
+    assert d_gated < d_ungated
+
+    # host-solve + use_snr on cholesky has no Ritz basis: refused loudly
+    with pytest.raises(ValueError, match="Ritz"):
+        make_problem(ctx1, dim=2, n=256, cfg=TDVPConfig(
+            solver_method="cholesky", use_snr=True,
+            solve_on_device=False))
+    with pytest.raises(ValueError, match="Ritz"):
+        make_problem(ctx1, dim=2, n=256, cfg=TDVPConfig(
+            solver_method="cholesky", use_snr=True, spectrum_topk=0))

@@ -54,29 +54,36 @@ def velocity_field_mlpaper(coord, t, T=5.0):
     )
 
 
-def hamiltonian(coord, m=1.0, omega=1.0, lam=0.0, coupled=False, v2=1.0):
+def hamiltonian(coord, m=1.0, omega=1.0, lam=0.0, coupled=False, v2=1.0,
+                onsite=0.0):
     """Harmonic(+quartic) Hamiltonian on [x1,p1,x2,p2,...] layout
     (evolutionEq.py:32-42). ``v2`` scales the quadratic potential term:
     v2 < 0 with lam > 0 gives the double well
     V(x) = v2 m omega^2/2 x^2 + lam x^4 (minima at
     +-sqrt(-v2 m omega^2 / (4 lam)), barrier v2^2 m^2 omega^4 / (16 lam))
     -- BASELINE.json config 3; the reference's Hamiltonian is the v2=1
-    special case."""
+    special case. ``onsite`` (coupled chains only) adds an on-site
+    pinning term onsite * m omega^2/2 sum x^2: the roll-coupled chain
+    alone has a zero mode (uniform translation costs nothing), so a
+    damped-diffusive chain has no stationary position distribution
+    without it -- needed for the heat-transport NESS workload."""
     xs = coord[0::2]
     ps = coord[1::2]
     if coupled:
-        pot = m * omega**2 / 2.0 * jnp.sum((xs - jnp.roll(xs, 1)) ** 2)
+        pot = m * omega**2 / 2.0 * (
+            jnp.sum((xs - jnp.roll(xs, 1)) ** 2)
+            + onsite * jnp.sum(xs**2))
     else:
         pot = m * omega**2 / 2.0 * jnp.sum(xs**2)
     return v2 * pot + jnp.sum(ps**2) / (2.0 * m) + lam * jnp.sum(xs**4)
 
 
 def velocity_field_hamiltonian(coord, t, m=1.0, omega=1.0, lam=0.0,
-                               coupled=False, v2=1.0):
+                               coupled=False, v2=1.0, onsite=0.0):
     """Symplectic flow v = J grad H: dx/dt = dH/dp, dp/dt = -dH/dx
     (evolutionEq.py:30-45)."""
     grads = jax.grad(hamiltonian)(coord, m=m, omega=omega, lam=lam,
-                                  coupled=coupled, v2=v2)
+                                  coupled=coupled, v2=v2, onsite=onsite)
     n_pairs = coord.shape[0] // 2
     J = jnp.kron(jnp.eye(n_pairs), jnp.array([[0.0, 1.0], [-1.0, 0.0]]))
     return (J @ grads).astype(coord.dtype)
@@ -216,12 +223,14 @@ class AdvectionHamiltonian(Equation):
     lam: float = 0.0
     coupled: bool = False
     v2: float = 1.0  # quadratic-potential prefactor; < 0 => double well
+    onsite: float = 0.0  # coupled chains: on-site pinning (see hamiltonian)
     name: str = "advection_hamiltonian"
 
     def velocity(self, x, t):
         return jax.vmap(
             lambda c: velocity_field_hamiltonian(
-                c, t, self.m, self.omega, self.lam, self.coupled, self.v2
+                c, t, self.m, self.omega, self.lam, self.coupled,
+                self.v2, self.onsite
             )
         )(x)
 
@@ -232,26 +241,59 @@ class AdvectionHamiltonian(Equation):
 @dataclasses.dataclass(frozen=True)
 class FokkerPlanck(AdvectionHamiltonian):
     """Phase-space Fokker-Planck with momentum diffusion and damping
-    (Eq. 2.14 of quant-ph/9709002; evolutionEq.py:107-119)."""
+    (Eq. 2.14 of quant-ph/9709002; evolutionEq.py:107-119).
 
-    T: float = 10.0
+    ``T`` may be a PER-SITE tuple (one bath temperature per (x, p) pair):
+    the diffusion term becomes m gamma sum_i T_i ((d_{p_i} log p)^2 +
+    d^2_{p_i} log p) -- the nonequilibrium heat-transport setting
+    (sites coupled to baths at different temperatures, cf. the
+    reference's 'Tdifferent' paper data, whose SHIPPED code only
+    supports a scalar T, evolutionEq.py:75,113). The T weights ride the
+    Hessian-trace directions as sqrt(T_i) e_{p_i}, so the fused trace
+    path (score.quad_trace / the Pallas per-sample kernel) serves the
+    per-site case unchanged."""
+
+    T: object = 10.0  # float or per-site tuple, length dim // 2
     gamma: float = 1.0
     name: str = "advection_hamiltonian_wDiss"
+
+    def __post_init__(self):
+        if isinstance(self.T, (list, np.ndarray)):
+            # keep the frozen dataclass hashable (jit static closures)
+            object.__setattr__(self, "T", tuple(float(t) for t in self.T))
+
+    def _t_vec(self, n_pairs: int) -> np.ndarray:
+        T = np.asarray(self.T, dtype=np.float64)
+        if T.ndim == 0:
+            return np.full(n_pairs, float(T))
+        if T.shape != (n_pairs,):
+            raise ValueError(
+                f"per-site T has {T.shape[0]} entries; dim "
+                f"{2 * n_pairs} has {n_pairs} (x, p) pairs"
+            )
+        return T
 
     def hessian_coords(self, dim):
         return tuple(range(1, dim, 2))  # momentum coordinates only
 
     def hessian_trace_dirs(self, dim):
-        return np.eye(dim)[1::2]  # momentum-coordinate basis vectors
+        # sqrt(T_i)-scaled momentum basis vectors: the quadratic-form sum
+        # the trace path returns is then sum_i T_i H_{p_i p_i} directly
+        T = self._t_vec(dim // 2)
+        return np.eye(dim)[1::2] * np.sqrt(T)[:, None]
 
     def eloc(self, x, g, hess, t):
         adv = -jnp.sum(g * self.velocity(x, t), axis=-1)
         g_p = g[:, 1::2]
         x_p = x[:, 1::2]
-        lap_p = hess if hess.ndim == 1 else jnp.trace(
-            hess, axis1=-2, axis2=-1)
-        diff = self.m * self.gamma * self.T * (
-            jnp.sum(g_p**2, axis=-1) + lap_p
+        Tv = jnp.asarray(self._t_vec(x.shape[-1] // 2), dtype=g.dtype)
+        if hess.ndim == 1:
+            lap_T = hess  # trace dirs already carry the sqrt(T) weights
+        else:
+            lap_T = jnp.sum(
+                jnp.diagonal(hess, axis1=-2, axis2=-1) * Tv, axis=-1)
+        diff = self.m * self.gamma * (
+            jnp.sum(g_p**2 * Tv, axis=-1) + lap_T
         )
         damp = self.gamma * jnp.sum(x_p * g_p, axis=-1)
         return adv + diff + damp

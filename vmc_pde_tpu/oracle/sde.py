@@ -34,15 +34,21 @@ def drift_diffusion(coord, t, dt, key, D=1.0, **_):
 
 
 def drift_phase_space(coord, t, dt, key, m=1.0, omega=1.0, lam=0.0,
-                      gamma=1.0, T=10.0, v2=1.0, coupled=False, **_):
+                      gamma=1.0, T=10.0, v2=1.0, coupled=False,
+                      onsite=0.0, **_):
     """Hamiltonian advection + momentum noise + damping (exact_dyn.py:55-62).
     ``v2`` < 0 with ``lam`` > 0: the double-well potential (config 3);
     ``coupled``: the interacting chain potential sum (x_i - x_{i-1})^2
-    (config 4)."""
+    (config 4); ``T`` may be a per-site tuple (length dim // 2) for the
+    heat-transport setting (ops.evolution.FokkerPlanck per-site baths)."""
     mask = jnp.zeros_like(coord).at[1::2].set(1.0)
     v_adv = velocity_field_hamiltonian(coord, t, m=m, omega=omega, lam=lam,
-                                       v2=v2, coupled=coupled)
-    v_diff = jnp.sqrt(2.0 * m * gamma * T / dt) * jax.random.normal(
+                                       v2=v2, coupled=coupled,
+                                       onsite=onsite)
+    Tv = jnp.asarray(T, dtype=coord.dtype)
+    if Tv.ndim > 0:
+        Tv = jnp.repeat(Tv, 2)  # per-site -> per-coordinate (x_i, p_i)
+    v_diff = jnp.sqrt(2.0 * m * gamma * Tv / dt) * jax.random.normal(
         key, coord.shape, dtype=coord.dtype
     )
     v_damp = -gamma * coord

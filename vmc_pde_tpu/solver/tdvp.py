@@ -105,16 +105,18 @@ class TDVPConfig:
     # same numerics class, chunk-safe, SPMD-partitionable). "tri2"
     # additionally computes only the block-lower-triangle of the
     # symmetric first term and mirrors once after accumulation
-    # (stats.tri2_gram_sum_raw): 1.5 + 0.5/K effective passes;
-    # single-device only (its K+1 split dot_generals would double the
-    # Gram's collective bytes on a mesh). "syrk" computes only the
-    # lower-triangle tiles with a single-device Pallas kernel
-    # (kernels/syrk.py). "xla" is the plain matmul. "auto" picks, on TPU
-    # with f32 "high"-precision stats, tri2 on a single device at
-    # P >= 4096 and sym2 otherwise (both win on every measured shape,
-    # direct and chunked; sym2 also shards); xla elsewhere. The same
-    # flag gates minSR's symmetric kernel-space contractions
-    # (stats.sym2_outer_sum for T's diagonal/direct assembly).
+    # (stats.tri2_gram_sum_raw): 1.5 + 0.5/K effective passes; runs on a
+    # single device or -- through the shard_map stats path
+    # (stats_partitioning) -- per shard on a dp mesh with one psum of
+    # the assembled matrix. "syrk" computes only the lower-triangle
+    # tiles with a single-device Pallas kernel (kernels/syrk.py). "xla"
+    # is the plain matmul. "auto" picks, on TPU with f32
+    # "high"-precision stats, tri2 at P >= 4096 wherever its collective
+    # cost is flat (single device or shard_map stats) and sym2 otherwise
+    # (both win on every measured shape, direct and chunked; sym2 also
+    # shards under plain GSPMD); xla elsewhere. The same flag gates
+    # minSR's symmetric kernel-space contractions (stats.sym2_outer_sum
+    # for T's diagonal/direct assembly).
     gram_backend: str = "auto"
     # MXU engine for the split backends' CROSS pass (the unsymmetric
     # hi^T lo term of sym2/tri2 -- the one full pass tri2 cannot
@@ -125,11 +127,13 @@ class TDVPConfig:
     # sits below the lo@lo term the split class already drops
     # (stats._cross_sum; scripts/bench_int8.py accuracy measurement).
     # Chunked paths only in effect: exact int32 accumulation bounds the
-    # contraction length at 131,072 samples, beyond which the request
-    # falls back to bf16 per-call. "auto" engages int8 on single-device
-    # TPU split configs (d=32 headline: +25% RHS throughput at unchanged
-    # residual, results/bench_int8cross_r3h.txt) and stays bf16 on
-    # meshes/CPU.
+    # contraction length at 131,072 samples PER DEVICE, beyond which the
+    # request falls back to bf16 per-call. "auto" engages int8 on TPU
+    # split configs on a single device (d=32 headline: +25% RHS
+    # throughput at unchanged residual, results/bench_int8cross_r3h.txt)
+    # and on dp meshes through the shard_map stats path (per-shard
+    # quantization scales, de-scaled before the psum -- no amax
+    # collective); it stays bf16 on GSPMD meshes/CPU.
     gram_cross: str = "auto"
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
@@ -174,9 +178,11 @@ class TDVPConfig:
     # parameter/coordinate backward, and Hessian trace on a VMEM-resident
     # sample tile, writing only the (tile, P) O block to HBM. Gauss or
     # Student-t latents, trace-mode Hessians (persample.supports); on
-    # multi-device meshes the kernel shard_maps over dp; sample budgets
-    # must divide dp_size * per_sample_tile. "auto" engages the kernel on
-    # single-device TPU f32 configs with 2048 <= P <= 32768.
+    # multi-device meshes the kernel runs per device (inside the
+    # shard_map stats path, or shard_mapped over dp for the GSPMD call
+    # sites); sample budgets must divide dp_size * per_sample_tile.
+    # "auto" engages the kernel on TPU f32 configs with
+    # 2048 <= P <= 32768, single-device AND meshes (round 4).
     per_sample_backend: str = "auto"
     per_sample_tile: int = 256  # lane-axis tile; must be a multiple of 128
     compute_snr: bool = True      # record per-mode SNR diagnostics
@@ -198,6 +204,14 @@ class TDVPConfig:
     integral_T: float = 10.0      # variance scale in the integral check
 
 
+def _soft_cutoff(x, tol):
+    """The reference's sixth-power soft regularizer 1/(1 + (tol/x)^6)
+    (tdvp.py:85), evaluated as a log-space sigmoid: sigmoid(6 (log x -
+    log tol)). Analytically identical, but finite for x in [0, inf] where
+    the naive pow NaNs on the TPU's emulated f64 near underflow."""
+    return jax.nn.sigmoid(6.0 * (jnp.log(x) - np.log(tol)))
+
+
 def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
                        eigh_fn=jnp.linalg.eigh):
     """Eigendecompose S and apply the reference's regularized pseudo-inverse
@@ -214,14 +228,7 @@ def _solve_regularized(S, F, cfg: TDVPConfig, n_samples: int, A=None,
 
     ratio = jnp.abs(ev / ev[-1])
     inv_ev = jnp.where(ratio > cfg.eig_cutoff, 1.0 / ev, 0.0)
-    # Soft sixth-power cutoff. Analytically identical to the reference's
-    # 1/(1 + (tol/r)^6) (tdvp.py:85) but evaluated as a log-space sigmoid:
-    # sigmoid(6 (log r - log tol)). The naive form produces NaN on the TPU's
-    # emulated-f64 pow for near-underflow ratios; the sigmoid form is exact
-    # and finite for r in [0, inf].
-    def soft_cutoff(x, tol):
-        return jax.nn.sigmoid(6.0 * (jnp.log(x) - np.log(tol)))
-
+    soft_cutoff = _soft_cutoff  # see module-level docstring
     regularizer = soft_cutoff(ratio, cfg.svd_tol)
 
     snr = None
@@ -381,10 +388,7 @@ def _minsr_kernel_solve(T, e_c, cfg: TDVPConfig, sdt):
 
     ratio = jnp.abs(ev / ev[-1])
     inv_mu = jnp.where(ratio > cfg.eig_cutoff, 1.0 / mu, 0.0)
-
-    def soft_cutoff(x, tol):
-        return jax.nn.sigmoid(6.0 * (jnp.log(x) - np.log(tol)))
-
+    soft_cutoff = _soft_cutoff
     regularizer = soft_cutoff(ratio, cfg.svd_tol)
 
     snr = None
@@ -569,12 +573,59 @@ class TDVP:
             )
         elif method == "cholesky":
             # Per-mode SNR survives via the randomized top-k Ritz basis
-            # (spectrum_topk); SNR *regularization* is spectral-only.
-            keep_snr = cfg.compute_snr and cfg.spectrum_topk > 0
-            if cfg.use_snr or cfg.compute_snr != keep_snr:
-                cfg = dataclasses.replace(cfg, compute_snr=keep_snr,
-                                          use_snr=False)
+            # (spectrum_topk), and use_snr now gates THROUGH it (round-4
+            # item 8): the Tikhonov update's Ritz-subspace components get
+            # the reference's sixth-power SNR soft-cutoff (tdvp.py:88-91)
+            # while the orthogonal complement passes through -- low-SNR
+            # directions outside the top-k are already suppressed by the
+            # Tikhonov filter ev/(ev + svd_tol * lam_max), since SNR ~
+            # sqrt(N) |VtF| / rho and small-ev modes carry the noisiest
+            # force components. use_snr therefore REQUIRES the Ritz basis.
+            if cfg.use_snr and (cfg.spectrum_topk <= 0
+                                or not cfg.solve_on_device):
+                raise ValueError(
+                    "use_snr on solver_method='cholesky' gates modes in "
+                    "the randomized Ritz subspace, which exists on the "
+                    "on-device solve only; set spectrum_topk > 0 and "
+                    "solve_on_device=True (or use solver_method='eigh'/"
+                    "'minsr' for full-spectrum SNR gating)"
+                )
+            keep_snr = ((cfg.compute_snr or cfg.use_snr)
+                        and cfg.spectrum_topk > 0)
+            if cfg.compute_snr != keep_snr:
+                cfg = dataclasses.replace(cfg, compute_snr=keep_snr)
                 self.cfg = cfg
+        if cfg.stats_partitioning not in ("auto", "gspmd", "shard_map"):
+            raise ValueError(
+                f"unknown stats_partitioning {cfg.stats_partitioning!r}")
+        # shard_map stats (TDVPConfig.stats_partitioning): per-device local
+        # moment accumulation with ONE psum of the assembled (P, P) moments
+        # per statistics evaluation. Eligibility: a multi-device dp-only
+        # mesh (tp>1 keeps GSPMD's reduce-scatter-into-tp Gram layout), a
+        # stats-based solver (cg/minsr are gram-free and already lower
+        # well), no global-median clip, no IS weights (both need global
+        # order statistics / normalization the local program can't see),
+        # and -- when chunked -- a chunk size that splits evenly into
+        # per-device chunks.
+        smap_ok = (
+            self.ctx.dp_size > 1
+            and self.ctx.tp_size == 1
+            and method in ("eigh", "cholesky")
+            and cfg.eloc_clip == 0.0
+            and cfg.is_gamma == 1.0
+            and (cfg.chunk_size == 0
+                 or cfg.chunk_size % self.ctx.dp_size == 0)
+        )
+        if cfg.stats_partitioning == "shard_map" and not smap_ok:
+            raise ValueError(
+                "stats_partitioning='shard_map' needs a multi-device "
+                "dp-only mesh, solver_method eigh/cholesky, no "
+                "eloc_clip/is_gamma, and chunk_size divisible by dp "
+                f"(mesh dp={self.ctx.dp_size} tp={self.ctx.tp_size}, "
+                f"method={method!r})"
+            )
+        self._stats_shardmap = (cfg.stats_partitioning != "gspmd"
+                                and smap_ok)
         if cfg.gram_precision not in stats.PRECISIONS:
             raise ValueError(f"unknown gram_precision "
                              f"{cfg.gram_precision!r}")
@@ -605,9 +656,14 @@ class TDVP:
         # tri2: triangle-blocked sym2 (stats.tri2_gram_sum_raw) -- computes
         # only the lower block-triangle of the symmetric H^T H term and
         # mirrors once after accumulation: (1.5 + 0.5/K) MXU passes vs
-        # sym2's 2 at the same numerics class. Single-device only: the K+1
-        # separate dot_generals would each all-reduce on a dp mesh (~2x
-        # the Gram's collective bytes vs sym2's one assembled matrix).
+        # sym2's 2 at the same numerics class. Single-device or shard_map
+        # stats: under GSPMD on a mesh its K+1 split dot_generals would
+        # each all-reduce separately (~1.5x the Gram's collective bytes vs
+        # sym2's one assembled matrix -- HLO-measured in
+        # tests/test_parallel.py::test_shardmap_single_big_allreduce);
+        # under shard_map stats the strips accumulate locally and ONE psum
+        # of the assembled (P, P) crosses the fabric, so tri2 runs on dp
+        # meshes at single-device collective cost.
         self._use_tri2 = (
             cfg.gram_backend == "tri2"
             and self.precision.compute == jnp.float32
@@ -620,11 +676,13 @@ class TDVP:
                     "gram_precision='high' numerics; use 'auto'/'xla' "
                     "with this precision configuration"
                 )
-            if self.ctx.mesh.size > 1:
+            if self.ctx.mesh.size > 1 and not self._stats_shardmap:
                 raise ValueError(
-                    "gram_backend='tri2' is single-device (its split "
-                    "dot_generals would double the Gram collective bytes "
-                    "on a mesh); use gram_backend='auto'/'sym2'"
+                    "gram_backend='tri2' on a multi-device mesh needs the "
+                    "shard_map stats path (its K+1 split dot_generals "
+                    "would each all-reduce separately under GSPMD); this "
+                    "configuration is ineligible for it -- use "
+                    "gram_backend='auto'/'sym2'"
                 )
         if cfg.gram_backend == "auto":
             # sym2 wins everywhere measured at the f32/HIGH operating
@@ -644,13 +702,16 @@ class TDVP:
                 and self.precision.compute == jnp.float32
             )
             self._use_syrk = False
-            # Single-device + large P: upgrade to the triangle-blocked
-            # split (tri2) -- same numerics class, (1.5 + 0.5/K) MXU
-            # passes instead of sym2's 2. Gated at P >= 4096: below that
-            # the Gram is a minor cost and the K extra dot_generals just
-            # add compile/dispatch surface. (Measured at the d=32
+            # Large P: upgrade to the triangle-blocked split (tri2) --
+            # same numerics class, (1.5 + 0.5/K) MXU passes instead of
+            # sym2's 2 -- on a single device OR on a dp mesh through the
+            # shard_map stats path (local strips, one psum; the round-3
+            # single-device-only gate is gone). Gated at P >= 4096: below
+            # that the Gram is a minor cost and the K extra dot_generals
+            # just add compile/dispatch surface. (Measured at the d=32
             # headline shape: see BENCHMARKS.md Gram-backend table.)
-            if (self._use_sym2 and self.ctx.mesh.size == 1
+            if (self._use_sym2
+                    and (self.ctx.mesh.size == 1 or self._stats_shardmap)
                     and self.n_params >= 4096):
                 self._use_sym2 = False
                 self._use_tri2 = True
@@ -683,14 +744,17 @@ class TDVP:
         # term; the request is meaningless (and would silently do nothing)
         # on xla/syrk configurations. "auto" engages it on single-device
         # TPU (d=32 headline: 750.5 vs 935.9 ms/RHS, +25%, residual
-        # unchanged at 7.5e-6; results/bench_int8cross_r3h.txt). Meshes
-        # keep bf16: the per-column amax over the dp-sharded sample axis
-        # would add a max-collective per Gram call, unmeasured on real
-        # multi-chip hardware (explicit 'int8' still works there).
+        # unchanged at 7.5e-6; results/bench_int8cross_r3h.txt) AND on dp
+        # meshes through the shard_map stats path, where each device
+        # quantizes its own shard with its own per-column scales and
+        # de-scales to f32 BEFORE the single psum -- no amax collective
+        # exists to pay (the round-3 mesh objection). GSPMD meshes keep
+        # bf16 on auto (explicit 'int8' still works there, with the amax
+        # max-collective).
         self._cross_int8 = cfg.gram_cross == "int8" or (
             cfg.gram_cross == "auto"
             and (self._use_sym2 or self._use_tri2)
-            and self.ctx.mesh.size == 1
+            and (self.ctx.mesh.size == 1 or self._stats_shardmap)
             and jax.default_backend() == "tpu"
             # below this the Gram is a minor RHS cost and the per-call
             # quantize passes are pure overhead (same floor reasoning as
@@ -756,10 +820,13 @@ class TDVP:
             # for (d=32, P=9264, f32: 6.9 vs XLA's 8.4 ms per stage at
             # N=16,384; scripts/bench_persample.py). Small models are
             # left on XLA: sliver shapes there are cheap anyway and each
-            # (flow, tile) config costs a one-off Mosaic compile.
+            # (flow, tile) config costs a one-off Mosaic compile. Multi-
+            # device meshes engage too (round-4): per-device programs run
+            # inside the shard_map stats path, and the shard_mapped
+            # wrapper serves the GSPMD paths; ragged budgets fall back to
+            # XLA at call time either way.
             use_pallas = (
                 jax.default_backend() == "tpu"
-                and self.ctx.mesh.size == 1
                 and self.precision.compute == jnp.float32
                 # lower bound: sliver shapes below this are cheap on XLA
                 # and each config costs a one-off Mosaic compile; upper
@@ -769,7 +836,18 @@ class TDVP:
                 and persample.supports(self.flow, self._hess_dirs,
                                        self._hess_idx)
             )
+        # _ps_local: the per-device program -- THE kernel on a single
+        # device, and the one the shard_map stats path calls per shard on
+        # a mesh. _ps_pallas: what the GSPMD call sites use (the
+        # shard_mapped wrapper on meshes).
+        self._ps_local = None
         if use_pallas:
+            self._ps_local = persample.make_per_sample_pallas(
+                self.flow, unravel, self.n_params, self._hess_dirs,
+                tile=cfg.per_sample_tile,
+                interpret=jax.default_backend() != "tpu",
+                template=state.params,
+            )
             if self.ctx.mesh.size > 1:
                 # shard_map the kernel over the dp axis (tp replicas
                 # recompute their shard, like the vmapped-AD pipeline
@@ -781,12 +859,7 @@ class TDVP:
                     template=state.params,
                 )
             else:
-                self._ps_pallas = persample.make_per_sample_pallas(
-                    self.flow, unravel, self.n_params, self._hess_dirs,
-                    tile=cfg.per_sample_tile,
-                    interpret=jax.default_backend() != "tpu",
-                    template=state.params,
-                )
+                self._ps_pallas = self._ps_local
         # Split-emitting kernel variant for the chunked sym2/tri2 Gram
         # paths: writes the bf16 hi/lo operand split of the pilot-shifted
         # O directly (same HBM bytes), so each chunk's Gram skips one
@@ -795,8 +868,11 @@ class TDVP:
         # (P, tile) bf16 output blocks carry no P-alignment constraint:
         # P is a full (non-tiled) block dimension, verified by an odd-P
         # (P=62) compile+run on real TPU (sub-lo-residual-grade match).
+        # Always a per-device program: on meshes it is reachable only
+        # from inside the shard_map stats path.
         self._ps_split = None
-        if (self._ps_pallas is not None and self.ctx.mesh.size == 1
+        if (self._ps_local is not None
+                and (self.ctx.mesh.size == 1 or self._stats_shardmap)
                 and (self._use_sym2 or self._use_tri2)):
             self._ps_split = persample.make_per_sample_pallas(
                 self.flow, unravel, self.n_params, self._hess_dirs,
@@ -857,12 +933,17 @@ class TDVP:
     # ------------------------------------------------------------------
     # Per-sample physics: logp, score, O-row, Hessian block, Eloc.
     # ------------------------------------------------------------------
-    def _per_sample_batch(self, theta_c, x, t):
-        """x: (n, d) -> (logp (n,), Eloc (n,), O (n, P))."""
-        if self._ps_pallas is not None and x.shape[0] % self._ps_round == 0:
+    def _per_sample_batch(self, theta_c, x, t, local=False):
+        """x: (n, d) -> (logp (n,), Eloc (n,), O (n, P)).
+
+        ``local=True``: x is one device's shard inside the shard_map stats
+        path -- use the per-device kernel and the per-device tile round."""
+        ps = self._ps_local if local else self._ps_pallas
+        rnd = self._ps_tile if local else self._ps_round
+        if ps is not None and x.shape[0] % rnd == 0:
             # ragged batches (budgets not divisible by the kernel tile,
             # e.g. odd obs budgets or chunk tails) fall through to XLA
-            logp, g, quad, O = self._ps_pallas(theta_c, x)
+            logp, g, quad, O = ps(theta_c, x)
             hess = quad if self._hess_dirs is not None else None
             return logp, self.equation.eloc(x, g, hess, t), O
         f = self._log_prob_flat
@@ -915,35 +996,48 @@ class TDVP:
         scale = 1.4826 * jnp.median(jnp.abs(eloc - med))
         return med + jnp.clip(eloc - med, -c * scale, c * scale)
 
-    def _direct_stats(self, theta_c, t, x, log_w=None):
+    def _direct_stats(self, theta_c, t, x, log_w=None, axis=None,
+                      n_global=None):
         """Direct path: materialize O once, center, contract on the MXU.
 
         ``log_w``: optional per-sample log importance weights (x drawn from
         a proposal, cfg.is_gamma): every statistic becomes its self-
         normalized IS estimator -- weighted means/centering and a weighted
-        Gram (the gram(w) machinery the SNR/SExp moments already use)."""
+        Gram (the gram(w) machinery the SNR/SExp moments already use).
+
+        ``axis``/``n_global``: shard_map mode -- x is one device's shard,
+        means come from small psums, the Gram/force moments accumulate
+        locally and cross the fabric in ONE final psum (the round-4
+        mesh-parity path; log_w excluded by the eligibility gate)."""
         cfg = self.cfg
-        n = x.shape[0]
-        logp, eloc, O = self._per_sample_batch(theta_c, x, t)
+        local = axis is not None
+        n = n_global if local else x.shape[0]
+        logp, eloc, O = self._per_sample_batch(theta_c, x, t, local=local)
         eloc = self._maybe_clip_eloc(eloc)
-        O = self.ctx.constrain(O, self.ctx.osample_spec)
+        if not local:
+            O = self.ctx.constrain(O, self.ctx.osample_spec)
+
+        def gmean(a, axis_=0):
+            if not local:
+                return stats.mean(a, axis=axis_)
+            return jax.lax.psum(jnp.sum(a, axis=axis_), axis) / n
 
         w = None
         if log_w is not None:
             w = jnp.exp(log_w - jnp.max(log_w))
-            w = w / stats.mean(w)  # mean-normalized: /n estimators hold
+            w = w / gmean(w)  # mean-normalized: /n estimators hold
 
-        def wmean(a, axis=0):
+        def wmean(a, axis_=0):
             if w is None:
-                return stats.mean(a, axis=axis)
+                return gmean(a, axis_=axis_)
             ww = w if a.ndim == 1 else w[:, None]
-            return stats.mean(ww * a, axis=axis)
+            return gmean(ww * a, axis_=axis_)
 
         eloc_mean = wmean(eloc)
         eloc_abs_mean = wmean(jnp.abs(eloc))
         e_c = eloc - eloc_mean
         eloc_var = wmean(e_c**2)
-        o_mean = wmean(O, axis=0)
+        o_mean = wmean(O, axis_=0)
         O_c = O - o_mean
 
         cdt = self.precision.compute
@@ -977,16 +1071,24 @@ class TDVP:
                 O_c, gw, cross_int8=self._cross_int8).astype(cdt) / n
         elif self._use_syrk:
             gram = lambda gw=None: _syrk(O_c, w=gw).astype(cdt) / n
+        elif local:
+            # explicit-/n form: the stats.*_matrix helpers normalize by
+            # the LOCAL shape, which is wrong for a shard
+            gram = lambda gw=None: jnp.matmul(
+                O_c.T, O_c if gw is None else O_c * gw[:, None],
+                preferred_element_type=cdt, precision=mp) / n
         else:
             gram = lambda gw=None: stats.weighted_second_moment_matrix(
                 O_c, gw, cdt, precision=mp)
-        if w is None and not (self._use_syrk or self._use_sym2
-                              or self._use_tri2):
+        if (w is None and not local
+                and not (self._use_syrk or self._use_sym2
+                         or self._use_tri2)):
             S0 = stats.second_moment_matrix(O_c, preferred_dtype=cdt,
                                             precision=mp)
         else:
             S0 = gram(w)
-        S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
+        if not local:
+            S0 = self.ctx.constrain(S0, self.ctx.gram_spec)
 
         A = None
         if cfg.compute_snr or cfg.use_snr:
@@ -994,6 +1096,11 @@ class TDVP:
         SExp = None
         if cfg.compute_sexp:
             SExp = gram(wtimes(logp**2))
+
+        if local:
+            # ONE fused psum of every (P,)/(P, P)-scale moment: the whole
+            # cross-device traffic of the statistics evaluation
+            F0, S0, A, SExp = jax.lax.psum((F0, S0, A, SExp), axis)
 
         return dict(
             logp=logp,
@@ -1008,20 +1115,30 @@ class TDVP:
             SExp=SExp,
         )
 
-    def _chunked_stats(self, theta_c, t, x):
+    def _chunked_stats(self, theta_c, t, x, axis=None, n_global=None):
         """Streaming path: lax.scan over sample chunks; O never materializes
         beyond one chunk. Accumulates pilot-shifted weighted second moments
-        so f32 accumulation stays well conditioned."""
+        so f32 accumulation stays well conditioned.
+
+        ``axis``/``n_global``: shard_map mode -- x is one device's shard,
+        each device scans its LOCAL chunks (chunk_size / dp rows each,
+        same per-device work as the single-device scan at the global
+        chunk), the pilot shift is pmean'd so every device un-shifts
+        identically, and the accumulated moments cross the fabric in ONE
+        psum of the ASSEMBLED (P, P) matrices after the scan -- per RHS,
+        not per chunk (the round-4 mesh-parity path)."""
         cfg = self.cfg
-        n, d = x.shape
-        c = cfg.chunk_size
-        if n % c:
+        local = axis is not None
+        n_loc, d = x.shape
+        n = n_global if local else n_loc
+        c = cfg.chunk_size // self.ctx.dp_size if local else cfg.chunk_size
+        if n_loc % c:
             raise ValueError(
-                f"sample budget {n} is not a multiple of chunk_size {c} "
-                "(TDVP.__init__ rounds its own budgets; a hand-built call "
-                "must do the same)"
+                f"sample budget {n_loc} is not a multiple of chunk size "
+                f"{c} (TDVP.__init__ rounds its own budgets; a hand-built "
+                "call must do the same)"
             )
-        n_chunks = n // c
+        n_chunks = n_loc // c
         P = self.n_params
         cdt = self.precision.compute
         mp = stats.PRECISIONS[cfg.gram_precision]
@@ -1032,9 +1149,13 @@ class TDVP:
         # Split-kernel fast path: the Pallas kernel emits the shifted bf16
         # hi/lo pair directly, so every chunk's Gram skips the f32 O read
         # + split write (see _ps_split). The f64-stats mode needs the f32
-        # O (cast to f64), so it stays on the plain path.
+        # O (cast to f64), so it stays on the plain path. _ps_split is a
+        # per-device program: usable single-device or per shard inside
+        # the shard_map stats path (local chunks round to the bare tile).
+        ps_round = self._ps_tile if local else self._ps_round
         use_pair = (self._ps_split is not None and gdt is None
-                    and c % self._ps_round == 0)
+                    and c % ps_round == 0
+                    and (local or self.ctx.mesh.size == 1))
         # Fused quantize+force Pallas kernel (kernels/quant8.py): on the
         # int8 cross path each chunk otherwise makes three separate
         # near-HBM-peak XLA passes over the bf16 pair (quantize hi,
@@ -1053,10 +1174,16 @@ class TDVP:
         # batch is reused as the first accumulated chunk below (no
         # recompute); the pair path pilots on a small slice instead (its
         # scan must run EVERY chunk through the shifted split kernel).
-        c_pilot = min(c, 8 * self._ps_round) if use_pair else c
-        logp0, eloc0, O0 = self._per_sample_batch(theta_c, x[:c_pilot], t)
+        c_pilot = min(c, 8 * ps_round) if use_pair else c
+        logp0, eloc0, O0 = self._per_sample_batch(theta_c, x[:c_pilot], t,
+                                                  local=local)
         c_O = jax.lax.stop_gradient(jnp.mean(O0, axis=0))
         c_E = jax.lax.stop_gradient(jnp.mean(eloc0))
+        if local:
+            # every device must shift by the SAME constants or the psummed
+            # raw moments could not be un-shifted; one small (P,) pmean
+            c_O = jax.lax.pmean(c_O, axis)
+            c_E = jax.lax.pmean(c_E, axis)
 
         want_A = cfg.compute_snr or cfg.use_snr
 
@@ -1103,7 +1230,8 @@ class TDVP:
 
         def chunk_fn(carry, xc, batch=None):
             logp, eloc, O = (batch if batch is not None
-                             else self._per_sample_batch(theta_c, xc, t))
+                             else self._per_sample_batch(theta_c, xc, t,
+                                                         local=local))
             Os = O - c_O  # shifted
             es = eloc - c_E
             if gdt is not None:
@@ -1237,8 +1365,8 @@ class TDVP:
             # every chunk (incl. chunk 0) through the shifted split kernel
             acc, (logp_s, eloc_s) = jax.lax.scan(
                 chunk_fn_pair, zero, x.reshape(n_chunks, c, d))
-            logp = logp_s.reshape(n)
-            eloc = eloc_s.reshape(n)
+            logp = logp_s.reshape(n_loc)
+            eloc = eloc_s.reshape(n_loc)
         else:
             # chunk 0 reuses the pilot batch; the scan handles the rest
             acc0, (logp_first, eloc_first) = chunk_fn(
@@ -1247,9 +1375,23 @@ class TDVP:
                 chunk_fn, acc0, x[c:].reshape(n_chunks - 1, c, d)
             )
             logp = jnp.concatenate(
-                [logp_first[None], logp_rest]).reshape(n)
+                [logp_first[None], logp_rest]).reshape(n_loc)
             eloc = jnp.concatenate(
-                [eloc_first[None], eloc_rest]).reshape(n)
+                [eloc_first[None], eloc_rest]).reshape(n_loc)
+
+        if local:
+            # Assemble the triangle strips into full (P, P) matrices PER
+            # DEVICE (gram_fin commutes with summation), then ONE fused
+            # psum of every accumulated moment -- the statistics
+            # evaluation's entire cross-device traffic, independent of the
+            # chunk count. (GSPMD would have emitted one all-reduce per
+            # sample-contracting dot_general per chunk.)
+            acc = dict(acc)
+            for k in ("sum_OO", "sum_E2OO", "sum_EOO", "sum_l2OO"):
+                if k in acc:
+                    acc[k] = gram_fin(acc[k])
+            acc = jax.lax.psum(acc, axis)
+            gram_fin = lambda m: m
 
         # Un-shift. With y = O - c_O, f = E - c_E:
         #   m_y = E[y],  S0 = E[y^T y] - m_y^T m_y  (shift cancels exactly)
@@ -1306,6 +1448,46 @@ class TDVP:
             A=A,
             SExp=SExp,
         )
+
+    def _stats_sharded(self, theta_c, t, x, n):
+        """shard_map wrapper around the stats block (the round-4
+        mesh-parity path, TDVPConfig.stats_partitioning): each device runs
+        the per-device program (_direct_stats / _chunked_stats in local
+        mode -- per-sample Pallas kernels, tri2 triangle strips, int8
+        cross quantization with per-shard scales, chunked scan) on its
+        own sample shard, and the finished moments cross the fabric in
+        ONE psum (plus two small mean/pilot psums). This is what lets the
+        single-device fast Gram stack (tri2 + int8 + split kernel) run
+        unchanged per shard on a dp mesh -- the TPU-native analogue of
+        mpi_wrapper.global_covariance's reduce-locally-then-Allreduce
+        (vmc_fluids/mpi_wrapper.py:248-274), minus the host staging."""
+        from ..parallel.mesh import SAMPLE_AXIS
+
+        cfg = self.cfg
+        chunked = bool(cfg.chunk_size and cfg.chunk_size < n)
+
+        def inner(th, t_, x_loc):
+            if chunked:
+                return self._chunked_stats(th, t_, x_loc,
+                                           axis=SAMPLE_AXIS, n_global=n)
+            return self._direct_stats(th, t_, x_loc,
+                                      axis=SAMPLE_AXIS, n_global=n)
+
+        from jax.sharding import PartitionSpec as PS
+
+        dp, rep = PS(SAMPLE_AXIS), PS()
+        want_A = cfg.compute_snr or cfg.use_snr
+        out_specs = dict(
+            logp=dp, eloc=dp,
+            eloc_mean=rep, eloc_abs_mean=rep, eloc_var=rep,
+            eloc_sq_mean=rep, F0=rep, S0=rep,
+            A=rep if want_A else None,
+            SExp=rep if cfg.compute_sexp else None,
+        )
+        return jax.shard_map(
+            inner, mesh=self.ctx.mesh, in_specs=(rep, rep, dp),
+            out_specs=out_specs, check_vma=False,
+        )(theta_c, jnp.asarray(t), x)
 
     # ------------------------------------------------------------------
     # Observables (tdvp.py:143-162).
@@ -1404,7 +1586,9 @@ class TDVP:
                                    z_obs_ext, n, n_obs, with_obs, mcmc=mcmc)
 
         # STATS: Eloc, force, Gram (+SNR/SExp second moments).
-        if cfg.chunk_size and cfg.chunk_size < n:
+        if self._stats_shardmap:
+            st = self._stats_sharded(theta_c, t, x, n)
+        elif cfg.chunk_size and cfg.chunk_size < n:
             st = self._chunked_stats(theta_c, t, x)
         else:
             st = self._direct_stats(theta_c, t, x, log_w=log_w)
@@ -1460,6 +1644,16 @@ class TDVP:
                     S.astype(sdt), F0.astype(sdt), cfg, lam_max=lam_max
                 )
                 aux["lambda_max"] = lam_max
+                if cfg.use_snr and "snr_topk" in aux:
+                    # Ritz-projected SNR gating (round-4 item 8): apply
+                    # the reference's per-mode soft-cutoff within the
+                    # top-k subspace, pass-through on the complement:
+                    # u <- u + V_k diag(g - 1) V_k^T u.
+                    _HI = jax.lax.Precision.HIGHEST
+                    g = _soft_cutoff(aux["snr_topk"], cfg.snr_tol)
+                    Vtu = jnp.matmul(V_k.T, update, precision=_HI)
+                    update = update + jnp.matmul(
+                        V_k, (g - 1.0) * Vtu, precision=_HI)
             residual = jnp.linalg.norm(
                 S.astype(sdt) @ update - F0.astype(sdt)
             ) / jnp.linalg.norm(F0.astype(sdt))
