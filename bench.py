@@ -300,6 +300,12 @@ def main():
                          "(int8 = per-column-quantized, 2x the bf16 rate)")
     ap.add_argument("--solver", type=str, default="auto",
                     choices=["auto", "eigh", "cholesky", "cg", "minsr"])
+    ap.add_argument("--precision", type=str, default="tpu",
+                    help="Precision preset (utils/dtypes.py): 'tpu' "
+                         "(f32 compute/solve), 'tpu_f64stats' (pair "
+                         "with --gram-precision f64 for true-f64 "
+                         "statistics on the f32 compute path), 'f64' "
+                         "(emulated-f64 everything)")
     ap.add_argument("--aot-dir", type=str,
                     default=os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
@@ -362,6 +368,7 @@ def main():
 
     # --- headline: north-star shape, pure device throughput -------------
     state, tdvp = build(args.dim, args.depth, args.samples,
+                        precision_name=args.precision,
                         chunk=args.chunk, solver=args.solver,
                         gram_precision=args.gram_precision,
                         gram_backend=args.gram_backend,

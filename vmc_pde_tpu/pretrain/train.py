@@ -193,15 +193,31 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batchsize", type=int, default=100)
     p.add_argument("--precision", default="f32")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--variant", default="affine",
+                   help="coupling variant; must match the evolution "
+                        "flow when the checkpoint feeds --init-params "
+                        "(e.g. 'scale' for the mwe/diffusion presets)")
+    p.add_argument("--workdir", default=None,
+                   help="persist {params, opt_state, epoch} as an orbax "
+                        "checkpoint here (consumable by the driver's "
+                        "--init-params)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
     prec = resolve(args.precision)
-    state = make_var_state(1, args.dim, depth=4, variant="affine",
+    state = make_var_state(args.seed, args.dim, depth=args.depth,
+                           variant=args.variant,
                            ctx=ParallelCtx.create(), precision=prec)
     data, target = gen_data((args.n, args.dim), mode=args.mode, std=args.std)
     data = data.astype(prec.compute)
     losses = train(state, data, batchsize=args.batchsize,
-                   epochs=args.epochs, lr=args.lr, verbose=True)
+                   epochs=args.epochs, lr=args.lr, verbose=True,
+                   workdir=args.workdir,
+                   checkpoint_every=args.checkpoint_every,
+                   resume=args.resume)
     print(f"loss: {losses[0]:.4f} -> {losses[-1]:.4f}")
     return losses
 
