@@ -725,15 +725,26 @@ def test_gram_backend_tri2_rejects_other_numerics(ctx1):
                                           gram_precision="highest"))
 
 
-def test_gram_backend_tri2_rejects_mesh(ctx8):
-    """tri2's split dot_generals would double the Gram collective bytes on
-    a dp mesh; the explicit override must fail loudly there."""
+def test_gram_backend_tri2_mesh_needs_shardmap(ctx8, ctx42):
+    """Round 4: explicit tri2 on a dp-only mesh rides the shard_map stats
+    path (local strips, one psum) -- accepted. On configs ineligible for
+    it (tp > 1, or stats_partitioning='gspmd'), the K+1 split
+    dot_generals would each all-reduce separately under GSPMD, so the
+    explicit override must still fail loudly."""
     from vmc_pde_tpu.utils.dtypes import resolve
 
-    with pytest.raises(ValueError, match="single-device"):
-        make_problem(ctx8, cfg=TDVPConfig(gram_backend="tri2",
-                                          gram_precision="high"),
-                     prec=resolve("tpu"))
+    _, t8 = make_problem(ctx8, cfg=TDVPConfig(gram_backend="tri2",
+                                              gram_precision="high"),
+                         prec=resolve("tpu"))
+    assert t8._use_tri2 and t8._stats_shardmap
+
+    for ctx, cfg in (
+        (ctx42, TDVPConfig(gram_backend="tri2", gram_precision="high")),
+        (ctx8, TDVPConfig(gram_backend="tri2", gram_precision="high",
+                          stats_partitioning="gspmd")),
+    ):
+        with pytest.raises(ValueError, match="shard_map"):
+            make_problem(ctx, cfg=cfg, prec=resolve("tpu"))
 
 
 def test_gram_backend_sym2_rejects_other_numerics(ctx1):
