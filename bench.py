@@ -286,7 +286,8 @@ def main():
                          "2-pass split (tri2) on single-device TPU "
                          "either way)")
     ap.add_argument("--gram-precision", type=str, default="high",
-                    choices=["highest", "high", "default", "f64"])
+                    choices=["highest", "high", "default", "f64", "f64acc"],
+                    help="f64acc: f32 per-chunk contraction + exact f64 cross-chunk accumulation (needs --chunk > 0)")
     ap.add_argument("--gram-backend", type=str, default="auto",
                     choices=["auto", "xla", "syrk", "sym2", "tri2"],
                     help="Gram contraction backend (sym2 = 2-pass "

@@ -1364,3 +1364,57 @@ def test_cholesky_use_snr_ritz_gating(ctx1):
     with pytest.raises(ValueError, match="Ritz"):
         make_problem(ctx1, dim=2, n=256, cfg=TDVPConfig(
             solver_method="cholesky", use_snr=True, spectrum_topk=0))
+
+
+def test_gram_precision_f64acc(ctx1):
+    """'f64acc': f32 per-chunk contraction, exact f64 cross-chunk
+    accumulation (no f64 matmul emulation -- the d=32 TPU toolchain
+    blocker documented at stats.PRECISIONS). The accumulated statistics
+    must sit strictly between plain f32 'high' and true-f64 'f64':
+    much closer to f64 than 'high' is, at identical per-chunk numerics."""
+    import jax
+
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    prec = resolve("tpu")  # f32 compute, x64 on
+    n, chunk = 8192, 256
+
+    def build(gp):
+        return make_problem(ctx1, dim=4, n=n,
+                            cfg=TDVPConfig(gram_precision=gp,
+                                           chunk_size=chunk), prec=prec)
+
+    st, t_acc = build("f64acc")
+    _, t_hi = build("high")
+    _, t_f64 = build("f64")
+    assert t_acc.cfg.svd_tol < t_hi.cfg.svd_tol  # tighter auto floor
+
+    theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+    params = t_acc._unravel(theta_c)
+    z = st.flow.latent_sample(jax.random.PRNGKey(3), params, n,
+                              dtype=prec.compute)
+    x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+
+    s_acc = t_acc._chunked_stats(theta_c, 0.0, x)
+    s_hi = t_hi._chunked_stats(theta_c, 0.0, x)
+    s_f64 = t_f64._chunked_stats(theta_c, 0.0, x)
+    assert s_acc["S0"].dtype == jnp.float64
+
+    ref = np.asarray(s_f64["S0"], dtype=np.float64)
+    err_acc = np.abs(np.asarray(s_acc["S0"]) - ref).max()
+    err_hi = np.abs(np.asarray(s_hi["S0"], dtype=np.float64) - ref).max()
+    scale = np.abs(ref).max()
+    # exact accumulation kills the cross-chunk rounding: >= 4x closer to
+    # the true-f64 statistics than the f32-accumulated path at 32 chunks
+    assert err_acc < err_hi / 4, (err_acc, err_hi)
+    assert err_acc < 1e-6 * scale
+
+    # full rhs runs and solves from the f64 statistics
+    u, aux = t_acc.rhs(st.get_parameters(), 0.0, jax.random.PRNGKey(5))
+    assert not bool(aux["nan"])
+    assert float(aux["solver_res"]) < 1e-5
+
+    # direct path has no carry to upgrade: rejected loudly
+    with pytest.raises(ValueError, match="chunk"):
+        make_problem(ctx1, dim=4, n=512,
+                     cfg=TDVPConfig(gram_precision="f64acc"), prec=prec)

@@ -601,7 +601,7 @@ def main(argv=None):
                    choices=["auto", "eigh", "cholesky", "cg", "minsr"],
                    help="linear-solver strategy (TDVPConfig.solver_method)")
     p.add_argument("--gram-precision", type=str, default=None,
-                   choices=["highest", "high", "default", "f64"],
+                   choices=["highest", "high", "default", "f64", "f64acc"],
                    help="MXU pass count for Gram/statistics matmuls "
                         "('f64': true-float64 contraction of the f32 "
                         "gradients -- reference-grade residuals on TPU; "

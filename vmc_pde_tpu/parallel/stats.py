@@ -39,11 +39,29 @@ PRECISIONS = {
     # reference's 1e-12 grade ON DEVICE even though the compute path is
     # f32 (the residual measures S/F/solve consistency, which all derive
     # from the same f32 O). BASELINE.md "matched solver tolerances" item.
+    # CAVEAT (round 4, measured at d=32/P=9264): this image's libtpu
+    # lowers the f64 dot through a custom call that materializes an
+    # 8-way split of the full operand (f32[8, N, P] -- OOM at the
+    # flagship shape) and faults the TPU worker at runtime even when it
+    # fits; the mode is validated at d=8 scale only. Use "f64acc" at
+    # flagship scale.
     "f64": jax.lax.Precision.HIGHEST,
+    # "f64acc": f32/HIGH per-chunk contraction with EXACT f64
+    # accumulation across chunks (chunked statistics path only). No f64
+    # matmul emulation is ever emitted: the per-chunk Gram stays the
+    # 3-pass-equivalent f32 class (sym2/tri2/int8 split backends
+    # compose), and only the O(P^2)-per-chunk carry addition runs in
+    # f64 -- removing the f32 partial-sum rounding across the FULL
+    # sample budget (the dominant statistics error at N ~ 10^6) at
+    # roughly zero MXU cost.
+    "f64acc": jax.lax.Precision.HIGH,
 }
 
 # operand dtype override per gram_precision mode (None = keep compute dtype)
 GRAM_OPERAND_DTYPE = {"f64": jnp.float64}
+
+# accumulator (scan-carry) dtype override for the chunked statistics path
+GRAM_ACC_DTYPE = {"f64": jnp.float64, "f64acc": jnp.float64}
 
 
 def mean(data, axis=0):

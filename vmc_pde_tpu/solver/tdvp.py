@@ -486,10 +486,16 @@ class TDVP:
         if cfg.auto_tol_floor:
             # the floor tracks the dtype the STATISTICS are contracted in:
             # gram_precision="f64" restores the reference's raw 1e-11/1e-14
-            # tolerances even on an f32 compute path
+            # tolerances even on an f32 compute path. "f64acc" contracts
+            # each chunk in f32 but accumulates exactly, so its noise
+            # floor improves on f32 by ~sqrt(n_chunks) (the cross-chunk
+            # partial-sum rounding is gone).
             stat_dt = stats.GRAM_OPERAND_DTYPE.get(
                 cfg.gram_precision, self.precision.compute)
             eps = float(jnp.finfo(stat_dt).eps)
+            if (cfg.gram_precision == "f64acc"
+                    and 0 < cfg.chunk_size < self.n_samples):
+                eps /= math.sqrt(self.n_samples / cfg.chunk_size)
             cfg = dataclasses.replace(
                 cfg,
                 svd_tol=max(cfg.svd_tol, 64.0 * eps),
@@ -629,13 +635,27 @@ class TDVP:
         if cfg.gram_precision not in stats.PRECISIONS:
             raise ValueError(f"unknown gram_precision "
                              f"{cfg.gram_precision!r}")
-        if (stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision) is not None
+        if ((stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision) is not None
+             or stats.GRAM_ACC_DTYPE.get(cfg.gram_precision) is not None)
                 and not jax.config.read("jax_enable_x64")):
             # without x64, astype(float64) silently demotes to f32 and the
-            # "f64 statistics" promise would be a no-op
-            raise ValueError("gram_precision='f64' needs x64 enabled (use "
-                             "a Precision preset that calls enable_x64, "
-                             "e.g. 'tpu_f64stats')")
+            # "f64 statistics/accumulation" promise would be a no-op
+            raise ValueError(f"gram_precision={cfg.gram_precision!r} needs "
+                             "x64 enabled (use a Precision preset that "
+                             "calls enable_x64, e.g. 'tpu_f64stats')")
+        if cfg.gram_precision == "f64acc":
+            # the mode IS the chunked accumulation; direct contraction has
+            # no cross-chunk carry to upgrade
+            if not (0 < cfg.chunk_size < self.n_samples):
+                raise ValueError(
+                    "gram_precision='f64acc' upgrades the CHUNKED "
+                    "accumulation carry to f64; set 0 < chunk_size < "
+                    f"n_samples (chunk_size={cfg.chunk_size}, "
+                    f"n_samples={self.n_samples})")
+            if method not in ("eigh", "cholesky"):
+                raise ValueError(
+                    "gram_precision='f64acc' serves the Gram-based "
+                    "eigh/cholesky statistics path")
         if cfg.gram_backend not in ("auto", "xla", "syrk", "sym2", "tri2"):
             raise ValueError(f"unknown gram_backend {cfg.gram_backend!r}")
         # sym2: the 2-pass symmetric-Gram split (stats.sym2_gram_sum) --
@@ -645,7 +665,7 @@ class TDVP:
         self._use_sym2 = (
             cfg.gram_backend == "sym2"
             and self.precision.compute == jnp.float32
-            and cfg.gram_precision == "high"
+            and cfg.gram_precision in ("high", "f64acc")
         )
         if cfg.gram_backend == "sym2" and not self._use_sym2:
             raise ValueError(
@@ -667,7 +687,7 @@ class TDVP:
         self._use_tri2 = (
             cfg.gram_backend == "tri2"
             and self.precision.compute == jnp.float32
-            and cfg.gram_precision == "high"
+            and cfg.gram_precision in ("high", "f64acc")
         )
         if cfg.gram_backend == "tri2":
             if not self._use_tri2:
@@ -698,7 +718,7 @@ class TDVP:
             # remains as an explicit single-device backend.
             self._use_sym2 = (
                 jax.default_backend() == "tpu"
-                and cfg.gram_precision == "high"
+                and cfg.gram_precision in ("high", "f64acc")
                 and self.precision.compute == jnp.float32
             )
             self._use_syrk = False
@@ -727,7 +747,7 @@ class TDVP:
                 )
             if self._use_syrk and (
                     self.precision.compute != jnp.float32
-                    or cfg.gram_precision != "high"):
+                    or cfg.gram_precision not in ("high", "f64acc")):
                 # the kernel casts operands to f32 and implements exactly
                 # the 3-pass (HIGH) split; forcing it under an f64 compute
                 # policy or gram_precision='highest' would silently degrade
@@ -1143,8 +1163,17 @@ class TDVP:
         cdt = self.precision.compute
         mp = stats.PRECISIONS[cfg.gram_precision]
         gdt = stats.GRAM_OPERAND_DTYPE.get(cfg.gram_precision)
-        if gdt is not None:
-            cdt = gdt  # chunk operands cast below; accumulators in f64
+        if stats.GRAM_ACC_DTYPE.get(cfg.gram_precision) is not None:
+            # f64 ACCUMULATORS. Under "f64" the chunk operands also cast
+            # to f64 (gdt); under "f64acc" they stay f32 -- each chunk's
+            # contraction is the ordinary f32/HIGH (or split-backend)
+            # MXU program and only the carry addition promotes, so no
+            # f64 matmul emulation is ever emitted (the d=32 toolchain
+            # blocker documented at stats.PRECISIONS["f64"]).
+            cdt = stats.GRAM_ACC_DTYPE[cfg.gram_precision]
+        # dtype the per-chunk CONTRACTIONS produce (accumulation above
+        # happens at cdt via the carry add's type promotion)
+        con_dt = gdt if gdt is not None else self.precision.compute
 
         # Split-kernel fast path: the Pallas kernel emits the shifted bf16
         # hi/lo pair directly, so every chunk's Gram skips the f32 O read
@@ -1190,7 +1219,7 @@ class TDVP:
         def _matmul_gram_sum(Os, w=None):
             return jnp.matmul(
                 Os.T, Os if w is None else Os * w[:, None],
-                preferred_element_type=cdt, precision=mp)
+                preferred_element_type=con_dt, precision=mp)
 
         # tri2 accumulates RAW triangle parts {"t", "m2"} across chunks and
         # mirrors once after the scan (gram_fin); the other backends carry
