@@ -244,20 +244,53 @@ def stage_breakdown(state, tdvp, K=10):
         return jax.vmap(partial(score.value_score_and_param_grad, f),
                         in_axes=(None, 0))(th, x)
 
+    c = tdvp.cfg.chunk_size
+    chunked = bool(c) and c < n
+
     def per_sample(th, k):
         (x,) = sample_push(th, k)
         return tdvp._per_sample_batch(th, x, 0.0)
 
+    def per_sample_chunked(th, k):
+        # the chunked program's per-sample stream: the split-emitting
+        # kernel (or XLA pipeline) over all chunks, no Gram contractions
+        (x,) = sample_push(th, k)
+        xs = x.reshape(n // c, c, x.shape[-1])
+        use_split = (tdvp._ps_split is not None
+                     and c % tdvp._ps_round == 0)
+        shift = jnp.zeros((tdvp.n_params,), th.dtype)
+
+        def cf(carry, xc):
+            if use_split:
+                logp, eloc, pair, colsum, omax = \
+                    tdvp._per_sample_batch_split(th, xc, 0.0, shift)
+                s = (jnp.sum(colsum) + jnp.sum(omax) + jnp.sum(eloc)
+                     + jnp.sum(logp)).astype(jnp.float32)
+            else:
+                logp, eloc, O = tdvp._per_sample_batch(th, xc, 0.0)
+                s = (jnp.sum(O) + jnp.sum(eloc)
+                     + jnp.sum(logp)).astype(jnp.float32)
+            return carry + s, None
+
+        acc, _ = jax.lax.scan(cf, jnp.float32(0), xs)
+        return (acc,)
+
     def stats_all(th, k):
         (x,) = sample_push(th, k)
-        st = tdvp._direct_stats(th, 0.0, x)
+        st = (tdvp._chunked_stats(th, 0.0, x) if chunked
+              else tdvp._direct_stats(th, 0.0, x))
         return (st["S0"], st["F0"])
 
-    log("per-stage device times (incremental):")
+    log(f"per-stage device times (incremental, "
+        f"{'chunked' if chunked else 'direct'} stats):")
     timeit("sample+push", sample_push)
-    timeit("+ per-sample grads (O)", grads)
-    timeit("+ Hessian block + Eloc", per_sample)
-    timeit("+ Gram/force (direct)", stats_all)
+    if chunked:
+        timeit("+ per-sample stream (chunks)", per_sample_chunked)
+        timeit("+ Gram/force (chunked stats)", stats_all)
+    else:
+        timeit("+ per-sample grads (O)", grads)
+        timeit("+ Hessian block + Eloc", per_sample)
+        timeit("+ Gram/force (direct)", stats_all)
 
 
 def main():
