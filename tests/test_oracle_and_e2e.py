@@ -814,3 +814,61 @@ def test_build_problem_rejects_params_with_equation_instance():
                               equation_params={"D": 2.0})
     with pytest.raises(ValueError, match="equation_params"):
         build_problem(cfg)
+
+
+def test_sde_oracle_heat_chain_vs_lyapunov():
+    """Per-site-temperature SDE oracle (heat-transport chain) against the
+    exact covariance flow: dS/dt = A S + S A^T + D integrated with the
+    same drift matrix. Validates the vector-T noise wiring in
+    oracle/sde.py (and transitively the NESS the paper figure pins)."""
+    scipy_int = pytest.importorskip("scipy.integrate")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from make_paper_figures import HEAT_CHAIN, ness_state
+
+    p = dict(HEAT_CHAIN)
+    n, t_end, dt = 60000, 1.0, 1e-2
+    cloud = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (n, 6),
+                                         dtype=jnp.float64))
+    _, infos = sde.evolve(cloud, 0.0, dt, int(t_end / dt) + 1,
+                          drift_name="phase_space", params=p,
+                          key=jax.random.PRNGKey(4))
+    t = np.asarray(infos["times"])
+    cov = np.asarray(infos["covar"])
+
+    # exact S(t) via the same Lyapunov machinery the figure uses, started
+    # from S(0) = I
+    import scipy.linalg
+
+    S_ness, _ = ness_state()
+    # reuse ness_state's A, D by solving the ODE directly
+    Ts = p["T"]
+    K = np.zeros((3, 3))
+    for i in range(3):
+        K[i, i] = 2.0 + p["onsite"]
+        K[i, (i - 1) % 3] -= 1.0
+        K[i, (i + 1) % 3] -= 1.0
+    A = np.zeros((6, 6))
+    D = np.zeros((6, 6))
+    for i in range(3):
+        A[2 * i, 2 * i + 1] = 1.0
+        for j in range(3):
+            A[2 * i + 1, 2 * j] = -K[i, j]
+        A[2 * i + 1, 2 * i + 1] = -p["gamma"]
+        D[2 * i + 1, 2 * i + 1] = 2.0 * p["gamma"] * Ts[i]
+
+    def rhs(_, y):
+        S = y.reshape(6, 6)
+        return (A @ S + S @ A.T + D).ravel()
+
+    sol = scipy_int.solve_ivp(rhs, (0, t[-1]), np.eye(6).ravel(),
+                              t_eval=t, rtol=1e-9)
+    S_exact = sol.y.reshape(6, 6, -1)
+    d_mc = np.stack([cov[:, i, i] for i in range(6)], 0)
+    d_ex = np.stack([S_exact[i, i, :] for i in range(6)], 0)
+    # 60k particles: MC noise ~ sqrt(2/n) * S ~ 0.6% of scale
+    np.testing.assert_allclose(d_mc, d_ex, rtol=0.06, atol=0.05)
