@@ -69,10 +69,17 @@ class RunConfig:
     solve_on_device: bool = True
     solver_method: str = "auto"     # auto | eigh | cholesky | cg | minsr
     eigh_max_params: int = 2048     # "auto" switches eigh->cholesky here
-    gram_precision: str = "high"    # highest | high | default (MXU passes)
+    gram_precision: str = "high"    # highest | high | default | f64 |
+                                    # f64acc (MXU passes / f64 statistics)
     gram_backend: str = "auto"      # auto | xla | syrk | sym2 | tri2
     gram_cross: str = "auto"        # auto | bf16 | int8 (split cross pass;
-                                    # auto = int8 on single-device TPU)
+                                    # auto = int8 on TPU, single-device
+                                    # and shard_map-stats dp meshes)
+    # Mesh statistics partitioning: auto | gspmd | shard_map
+    # (TDVPConfig.stats_partitioning -- "auto" runs the stats block under
+    # shard_map on dp-only meshes: per-shard fast Gram stack, ONE psum of
+    # the assembled moments per RHS)
+    stats_partitioning: str = "auto"
     hessian_mode: str = "auto"      # auto | trace | block (TDVPConfig)
     # Per-sample pipeline backend: auto | xla | pallas (TDVPConfig;
     # kernels/persample.py -- "auto" fuses the per-sample stage into the

@@ -97,6 +97,7 @@ def build_problem(cfg: RunConfig):
         gram_precision=cfg.gram_precision,
         gram_backend=cfg.gram_backend,
         gram_cross=cfg.gram_cross,
+        stats_partitioning=cfg.stats_partitioning,
         per_sample_backend=cfg.per_sample_backend,
         per_sample_tile=cfg.per_sample_tile,
         hessian_mode=cfg.hessian_mode,
@@ -618,6 +619,11 @@ def main(argv=None):
                    help="MXU engine for the sym2/tri2 cross pass (int8 = "
                         "per-column-quantized int8 matmul at 2x the bf16 "
                         "rate; error below the split's dropped lo@lo term)")
+    p.add_argument("--stats-partitioning", type=str, default=None,
+                   choices=["auto", "gspmd", "shard_map"],
+                   help="mesh statistics partitioning ('auto' = shard_map "
+                        "on dp-only meshes: per-shard fast Gram stack, "
+                        "one psum of the assembled moments per RHS)")
     p.add_argument("--per-sample-backend", type=str, default=None,
                    choices=["auto", "xla", "pallas"],
                    help="per-sample pipeline backend (pallas = fused "
@@ -708,6 +714,8 @@ def main(argv=None):
         overrides["gram_backend"] = args.gram_backend
     if args.gram_cross is not None:
         overrides["gram_cross"] = args.gram_cross
+    if args.stats_partitioning is not None:
+        overrides["stats_partitioning"] = args.stats_partitioning
     if args.per_sample_backend is not None:
         overrides["per_sample_backend"] = args.per_sample_backend
     if args.hessian_mode is not None:
