@@ -74,6 +74,28 @@ def test_hand_quad_matches_quad_trace(lat):
                                rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.parametrize(
+    "variant,ga,lat",
+    [("affine", False, "Gauss"), ("additive", False, "Gauss"),
+     ("scale", False, "Gauss"), ("scale_shift", False, "Gauss"),
+     ("scale", True, "Gauss"), ("affine", True, "Gauss"),
+     ("affine", False, "Student_t"), ("scale", True, "Student_t")],
+)
+def test_jet_quad_matches_jvp_quad(variant, ga, lat):
+    """The hand-written second-order jet quad (_tile_quad_jet, the kernel
+    default: one shared primal, k lane-folded tangent pairs) against the
+    jvp-of-jvp reference on every coupling variant, incl. non-axis
+    directions (the anisotropic tr(H D) Cholesky-column case)."""
+    flow, params, x = _flow_and_batch(variant, global_affine=ga,
+                                      latent_name=lat)
+    rng = np.random.RandomState(11)
+    dirs = jnp.asarray(rng.standard_normal((4, flow.dim)), x.dtype)
+    q_jvp = persample.tile_quad(flow, params, x, dirs, impl="jvp")
+    q_jet = persample.tile_quad(flow, params, x, dirs, impl="jet")
+    np.testing.assert_allclose(np.asarray(q_jet), np.asarray(q_jvp),
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_supports_gate():
     flow, _, _ = _flow_and_batch("scale")
     assert persample.supports(flow, np.eye(flow.dim), None)

@@ -36,9 +36,15 @@ compile failure, see git history):
   of which Mosaic lowers. Each weight slab is built by _outer_rows --
   sublane repeat/tile relayouts, exact and matmul-free. The coordinate
   score g falls out of the same backward sweep for free.
-- The Hessian quadratic trace stays on AD, but pure FORWARD-mode
-  (jvp-of-jvp emits no transposes): directions are folded into the
-  sample (lane) axis -- one jvp^2 pass over a (d, k*m) batch.
+- The Hessian quadratic trace is HAND-WRITTEN second-order jet
+  propagation (_tile_quad_jet, the default): one (d, m) primal pass
+  shared by all k directions, with the k first/second-derivative tangent
+  pairs lane-folded into (d, k*m) batches -- each transcendental is
+  evaluated once per SAMPLE instead of once per direction-replicated
+  lane, and the tangent matmuls halve the jvp-of-jvp pass count. The
+  pure-forward jvp^2 fallback (quad_impl="jvp", directions folded into
+  the lane axis) is kept as the AD reference the jets are pinned
+  against.
 - The latent Mahalanobis triangular solve becomes multiplication by the
   EXACT inverse factor: U = D(I - B) with B nilpotent, so
   U^{-1} = (sum_{k<dim} B^k) D^{-1}, summed in log2(dim) doubling steps.
@@ -610,6 +616,173 @@ def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
     return quad
 
 
+def _tile_quad_jet(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
+    """sum_j v_j^T H v_j per sample via hand-written SECOND-ORDER JETS:
+    one (d, m) primal pass shared by ALL k directions, with the k
+    first/second-derivative tangent pairs riding a lane-folded (d, k*m)
+    batch.
+
+    _tile_quad's jvp-of-jvp on the direction-replicated tile re-evaluates
+    the primal -- and every tanh -- once PER DIRECTION: ~4 passes x k*m
+    lanes of matmul and ~k*m transcendentals per layer. Propagating
+    (value, f', f'') jets of t -> logp(x + t v_j) instead costs one m-lane
+    primal plus two k*m-lane tangent matmuls per linear op (~2x fewer MXU
+    columns at k=16) and evaluates each transcendental ONCE per sample
+    (tanh/exp on m lanes; the tangent rules are pure VPU multiplies) --
+    k x fewer transcendentals, which is what the per-sample stage is
+    bound by (BENCHMARKS.md round-4 stage profile: 4.3x its HBM floor,
+    VPU-bound).
+
+    Jet triples are (p, j1, j2): p is (f, m), j1/j2 are (f, k*m) with
+    direction j in lane block [j*m, (j+1)*m); j2 is None while it is
+    identically zero (x'' = 0 until the first nonlinearity). The rules
+    are the standard truncated Taylor algebra: (ab)'' = a''b + 2a'b' +
+    ab'', tanh'' = -2 tanh (1 - tanh^2), exp'' = exp (a'' + a'^2).
+    quad = d^2/dt^2 logp = the second jet, summed over the k blocks.
+    Numerics match _tile_quad's precision choices op for op (selections
+    through _mm_split -- AD's tangent of the bf16 round-trip is the same
+    split -- conditioner matmuls DEFAULT, the dense latent W HIGHEST);
+    tests pin jet == jvp^2 and the kernel against the XLA pipeline.
+    X: (d, m), dirs: (k, d) -> (m,)."""
+    m = X.shape[1]
+    k = k_dirs
+
+    def tk(p):
+        """Tile a primal-shaped array along the direction-folded lanes."""
+        return p if k == 1 else jnp.concatenate([p] * k, axis=1)
+
+    def j2add(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    def jadd(a, b):
+        return (a[0] + b[0], a[1] + b[1], j2add(a[2], b[2]))
+
+    def jmul(a, b):
+        """Elementwise product of jet triples."""
+        (ap, a1, a2), (bp, b1, b2) = a, b
+        apT, bpT = tk(ap), tk(bp)
+        p = ap * bp
+        j1 = a1 * bpT + apT * b1
+        j2 = j2add(j2add(None if a2 is None else a2 * bpT,
+                         None if b2 is None else apT * b2),
+                   2.0 * (a1 * b1))
+        return p, j1, j2
+
+    def jtanh(a):
+        ap, a1, a2 = a
+        t = jnp.tanh(ap)
+        s = 1.0 - t * t
+        sT = tk(s)
+        j1 = sT * a1
+        j2 = j2add(None if a2 is None else sT * a2,
+                   (-2.0) * tk(t * s) * (a1 * a1))
+        return t, j1, j2
+
+    def jexp(a):
+        ap, a1, a2 = a
+        e = jnp.exp(ap)
+        eT = tk(e)
+        return e, eT * a1, eT * j2add(a2, a1 * a1)
+
+    def jlin(op, a):
+        """Apply a linear map to each jet component."""
+        ap, a1, a2 = a
+        return op(ap), op(a1), None if a2 is None else op(a2)
+
+    def jmlp(net, h, alpha):
+        """Jet propagation through _mlp_plain (all layers tanh, then
+        alpha scaling); bias enters the primal only."""
+        ws, bs = net["w"], net["b"]
+        for w, b in zip(ws, bs):
+            hp, h1, h2 = jlin(partial_mm_tn(w), h)
+            h = jtanh((hp + b[:, None], h1, h2))
+        return h[0] * alpha, h[1] * alpha, None if h[2] is None \
+            else h[2] * alpha
+
+    def partial_mm_tn(w):
+        return lambda v: _mm_tn(w, v)
+
+    def jpair(pf, h, alpha):
+        y = jmlp(pf, h, alpha)
+        half = y[0].shape[0] // 2
+
+        def cut(c, lo):
+            return (c[:half] if lo else c[half:]) if c is not None else None
+
+        return ((y[0][:half], y[1][:half], cut(y[2], True)),
+                (y[0][half:], y[1][half:], cut(y[2], False)))
+
+    def jcouple(u, s, t, es, variant):
+        if variant == "additive":
+            return jadd(u, s)
+        if variant == "affine":
+            return jadd(jmul(u, es), t)
+        if variant == "scale":
+            return jmul(u, es)
+        return jadd(jmul(u, es), s)  # scale_shift
+
+    Z1 = jnp.concatenate(
+        [jnp.broadcast_to(dirs[j:j + 1, :].T, (X.shape[0], m))
+         for j in range(k)], axis=1)
+    z = (X, Z1, None)
+    lj2 = None  # second jet of logjac, (k*m,)
+    for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
+        u1 = jlin(lambda v, S=Su: _mm_split(S, v), z)
+        u2 = jlin(lambda v, S=Sd: _mm_split(S, v), z)
+        if spec.variant == "affine":
+            s2, t2 = jpair(p["f2"], u2, spec.alpha)
+        else:
+            s2 = jmlp(p["s2"], u2, spec.alpha)
+            t2 = None
+        v1 = jcouple(u1, s2, t2, jexp(s2), spec.variant)
+        if spec.variant == "affine":
+            s1, t1 = jpair(p["f1"], v1, spec.alpha)
+        else:
+            s1 = jmlp(p["s1"], v1, spec.alpha)
+            t1 = None
+        v2 = jcouple(u2, s1, t1, jexp(s1), spec.variant)
+        zm = jadd(jlin(lambda v, S=Su: _mm_tn_split(S, v), v1),
+                  jlin(lambda v, S=Sd: _mm_tn_split(S, v), v2))
+        if spec.variant != "additive":
+            lj2 = j2add(lj2, j2add(
+                None if s1[2] is None else jnp.sum(s1[2], axis=0),
+                None if s2[2] is None else jnp.sum(s2[2], axis=0)))
+        if spec.global_affine:
+            gs = p["g_scale"][:, None]
+            zm = (gs * zm[0] + p["g_offset"][:, None], gs * zm[1],
+                  None if zm[2] is None else gs * zm[2])
+        z = zm
+
+    lat = kt["latent"]
+    dim = X.shape[0]
+    W, _ = _latent_factor(lat, dim)
+    ylat = jlin(lambda v: _mm(W, v, _HI),
+                (z[0] - off[:, None] - lat["mu"][:, None], z[1], z[2]))
+    yp, y1, y2 = ylat
+    ypT = tk(yp)
+    q0 = jnp.sum(yp * yp, axis=0)                      # (m,)
+    q1 = 2.0 * jnp.sum(ypT * y1, axis=0)               # (k*m,)
+    q2 = 2.0 * jnp.sum(
+        y1 * y1 + (0.0 if y2 is None else ypT * y2), axis=0)
+    if tparams is None:
+        blocks = -0.5 * q2
+    else:
+        nu = tparams[0]
+        onepu = tk((1.0 + q0 / nu)[None, :])[0]        # (k*m,)
+        h1 = 0.5 * (nu + dim) / nu / onepu
+        blocks = -(h1 * q2 - (h1 / nu / onepu) * (q1 * q1))
+    if lj2 is not None:
+        blocks = blocks + lj2
+    quad = blocks[0:m]
+    for j in range(1, k):
+        quad = quad + blocks[j * m:(j + 1) * m]
+    return quad
+
+
 # ---------------------------------------------------------------------------
 # O-tile assembly in ravel_pytree order.
 # ---------------------------------------------------------------------------
@@ -678,13 +851,17 @@ def tile_value_and_grads(flow, params, x):
     return logp, g.T, assemble_O(slabs, _slab_order(params)).T
 
 
-def tile_quad(flow, params, x, dirs):
-    """Pure-jnp folded-direction Hessian quad (N,)."""
+def tile_quad(flow, params, x, dirs, impl: str = "jvp"):
+    """Pure-jnp folded-direction Hessian quad (N,). ``impl``: "jvp" =
+    jvp-of-jvp on the direction-replicated tile, "jet" = hand-written
+    second-order jets sharing one primal (_tile_quad_jet, the kernel
+    default)."""
     kt = kernel_param_tree(flow, params)
     sel, off, _ = split_consts(flow, flow_consts(flow, x.dtype))
-    return _tile_quad(kt, flow.blocks, sel, off, x.T,
-                      jnp.asarray(dirs, x.dtype), int(np.shape(dirs)[0]),
-                      _maybe_tparams(flow, params, x.dtype))
+    fn = _tile_quad_jet if impl == "jet" else _tile_quad
+    return fn(kt, flow.blocks, sel, off, x.T,
+              jnp.asarray(dirs, x.dtype), int(np.shape(dirs)[0]),
+              _maybe_tparams(flow, params, x.dtype))
 
 
 def supports(flow, hess_dirs, hess_idx) -> bool:
@@ -704,7 +881,8 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
                            tile: int = DEFAULT_TILE,
                            interpret: bool = False,
                            template=None,
-                           emit_split: bool = False):
+                           emit_split: bool = False,
+                           quad_impl: str = "jet"):
     """Build fn(theta (P,), x (N, d)) -> (logp (N,), g (N, d), quad (N,)
     or None, O (N, P)), computed tile-by-tile in one Pallas kernel.
 
@@ -747,6 +925,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     is_t = flow.latent_name == "Student_t"
     specs = flow.blocks
     order = _slab_order(template)
+    quad_fn = _tile_quad_jet if quad_impl == "jet" else _tile_quad
 
     kt_template = kernel_param_tree(flow, template)
     kleaves_t, ktreedef = jax.tree_util.tree_flatten(kt_template)
@@ -809,8 +988,8 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
         else:
             o_ref[:] = assemble_O(slabs, order)
         if want_quad:
-            quad = _tile_quad(kt, specs, sel, off, X, dirs_ref[:], k_dirs,
-                              tp)
+            quad = quad_fn(kt, specs, sel, off, X, dirs_ref[:], k_dirs,
+                           tp)
             quad_ref[:] = quad[None, :]
         else:
             quad_ref[:] = jnp.zeros_like(quad_ref)
