@@ -839,8 +839,12 @@ class TDVP:
             # The kernel wins on the flagship-class regime it was tuned
             # for (d=32, P=9264, f32: 6.9 vs XLA's 8.4 ms per stage at
             # N=16,384; scripts/bench_persample.py). Small models are
-            # left on XLA: sliver shapes there are cheap anyway and each
-            # (flow, tile) config costs a one-off Mosaic compile. Multi-
+            # left on XLA: re-measured WITH the jet quad at the d8
+            # reference shape (P=684, N=16,384): XLA 3.03 vs kernel
+            # 3.49 ms/stage, full RHS 1.00x (results/
+            # bench_persample_d8_r4.txt) -- sliver shapes are cheap on
+            # XLA anyway and each (flow, tile) config costs a one-off
+            # Mosaic compile. Multi-
             # device meshes engage too (round-4): per-device programs run
             # inside the shard_map stats path, and the shard_mapped
             # wrapper serves the GSPMD paths; ragged budgets fall back to
