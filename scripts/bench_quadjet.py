@@ -14,13 +14,15 @@ Run (repo root): timeout 1800 python scripts/bench_quadjet.py
 
 FINDINGS (2026-08-20, single v5e chip through the axon tunnel;
 results/bench_quadjet_r4.txt): at N=16,384/tile 256 the jet quad takes
-the split-emitting stage 8.32 -> 7.07 ms (1.18x, same session); the
-no-quad probe (5.04 ms vs jet 5.99 in its session) puts the quad share
-at ~0.95 ms vs the jvp^2 path's ~3.3 ms -- a ~3.5x cut of the quad
-itself; the stage remainder is the hand fwd/bwd + O-pair write. tile=512
-stays slower (6.79 ms) -- the stage is compute-bound, wider tiles buy
-nothing (matches the round-4 tile probe on the jvp^2 kernel). Carry
-checksums match jvp bit-for-bit at printed precision.
+the split-emitting stage 8.32 -> 7.07 ms (1.18x, same session). The
+no-quad probe ran in a separate session (none 5.04 / jet 5.99 ms;
+sessions drift ~18%, so cross-session subtraction is invalid) --
+scaling by the sessions' jet ratio puts the quad at ~1.1 ms (jet) vs
+~2.4 ms (jvp^2), a ~2.1x cut of the quad itself; the stage remainder is
+the hand fwd/bwd + O-pair write. tile=512 stays slower (6.79 ms) -- the
+stage is compute-bound, wider tiles buy nothing (matches the round-4
+tile probe on the jvp^2 kernel). Carry checksums match jvp bit-for-bit
+at printed precision.
 """
 
 import argparse

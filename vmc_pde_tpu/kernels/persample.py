@@ -591,6 +591,25 @@ def _tile_logp(kt, specs, sel, off, X, tparams=None):
             - 0.5 * (nu + dim) * jnp.log1p(quadv / nu) + logjac)
 
 
+def _fold_dirs(dirs, k_dirs: int, d: int, m: int):
+    """(k, d) directions -> the (d, k*m) lane-folded tangent layout:
+    lane block j (columns [j*m, (j+1)*m)) carries direction j broadcast
+    over the m samples. Shared by both quad implementations so their
+    direction-block ordering cannot drift apart."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(dirs[j:j + 1, :].T, (d, m))
+         for j in range(k_dirs)], axis=1)
+
+
+def _sum_dir_blocks(vals, k_dirs: int, m: int):
+    """Sum a (k*m,) lane-folded per-direction vector over its k blocks
+    (the inverse of _fold_dirs' layout) -> (m,)."""
+    out = vals[0:m]
+    for j in range(1, k_dirs):
+        out = out + vals[j * m:(j + 1) * m]
+    return out
+
+
 def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
     """sum_j v_j^T H v_j per sample via ONE forward-over-forward jvp pass
     with the k directions folded into the sample (lane) axis: repeat the
@@ -599,9 +618,7 @@ def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
     X: (d, m), dirs: (k, d) -> (m,)."""
     m = X.shape[1]
     x_rep = jnp.concatenate([X] * k_dirs, axis=1)
-    v_rep = jnp.concatenate(
-        [jnp.broadcast_to(dirs[j:j + 1, :].T, (X.shape[0], m))
-         for j in range(k_dirs)], axis=1)
+    v_rep = _fold_dirs(dirs, k_dirs, X.shape[0], m)
 
     def f(xv):
         return _tile_logp(kt, specs, sel, off, xv, tparams)
@@ -610,10 +627,7 @@ def _tile_quad(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
         return jax.jvp(f, (y,), (v_rep,))[1]
 
     q_all = jax.jvp(inner, (x_rep,), (v_rep,))[1]  # (k*m,)
-    quad = q_all[0:m]
-    for j in range(1, k_dirs):
-        quad = quad + q_all[j * m:(j + 1) * m]
-    return quad
+    return _sum_dir_blocks(q_all, k_dirs, m)
 
 
 def _tile_quad_jet(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
@@ -725,9 +739,7 @@ def _tile_quad_jet(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
             return jmul(u, es)
         return jadd(jmul(u, es), s)  # scale_shift
 
-    Z1 = jnp.concatenate(
-        [jnp.broadcast_to(dirs[j:j + 1, :].T, (X.shape[0], m))
-         for j in range(k)], axis=1)
+    Z1 = _fold_dirs(dirs, k, X.shape[0], m)
     z = (X, Z1, None)
     lj2 = None  # second jet of logjac, (k*m,)
     for p, spec, (Su, Sd) in zip(kt["blocks"], specs, sel):
@@ -777,10 +789,7 @@ def _tile_quad_jet(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
         blocks = -(h1 * q2 - (h1 / nu / onepu) * (q1 * q1))
     if lj2 is not None:
         blocks = blocks + lj2
-    quad = blocks[0:m]
-    for j in range(1, k):
-        quad = quad + blocks[j * m:(j + 1) * m]
-    return quad
+    return _sum_dir_blocks(blocks, k, m)
 
 
 # ---------------------------------------------------------------------------
@@ -858,10 +867,18 @@ def tile_quad(flow, params, x, dirs, impl: str = "jvp"):
     default)."""
     kt = kernel_param_tree(flow, params)
     sel, off, _ = split_consts(flow, flow_consts(flow, x.dtype))
-    fn = _tile_quad_jet if impl == "jet" else _tile_quad
+    fn = _quad_impl(impl)
     return fn(kt, flow.blocks, sel, off, x.T,
               jnp.asarray(dirs, x.dtype), int(np.shape(dirs)[0]),
               _maybe_tparams(flow, params, x.dtype))
+
+
+def _quad_impl(name: str):
+    if name == "jet":
+        return _tile_quad_jet
+    if name == "jvp":
+        return _tile_quad
+    raise ValueError(f"unknown quad impl {name!r} (expected 'jet' or 'jvp')")
 
 
 def supports(flow, hess_dirs, hess_idx) -> bool:
@@ -925,7 +942,7 @@ def make_per_sample_pallas(flow, unravel, n_params: int,
     is_t = flow.latent_name == "Student_t"
     specs = flow.blocks
     order = _slab_order(template)
-    quad_fn = _tile_quad_jet if quad_impl == "jet" else _tile_quad
+    quad_fn = _quad_impl(quad_impl)
 
     kt_template = kernel_param_tree(flow, template)
     kleaves_t, ktreedef = jax.tree_util.tree_flatten(kt_template)
