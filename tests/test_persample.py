@@ -96,6 +96,19 @@ def test_jet_quad_matches_jvp_quad(variant, ga, lat):
                                rtol=1e-9, atol=1e-9)
 
 
+def test_quad_impl_validation():
+    """Unknown quad impl strings must raise, not silently fall back."""
+    flow, params, x = _flow_and_batch("scale", dim=4, depth=2, n=8)
+    dirs = np.eye(4, dtype=np.float64)
+    with pytest.raises(ValueError, match="unknown quad impl"):
+        persample.tile_quad(flow, params, x, dirs, impl="jets")
+    theta, unravel = score.flat_param_view(params)
+    with pytest.raises(ValueError, match="unknown quad impl"):
+        persample.make_per_sample_pallas(
+            flow, unravel, int(theta.size), dirs, tile=4, interpret=True,
+            template=params, quad_impl="Jet")
+
+
 def test_supports_gate():
     flow, _, _ = _flow_and_batch("scale")
     assert persample.supports(flow, np.eye(flow.dim), None)
