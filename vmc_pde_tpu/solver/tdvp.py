@@ -548,14 +548,23 @@ class TDVP:
         if method == "cg" and (cfg.compute_snr or cfg.use_snr
                                or cfg.compute_sexp):
             # matrix-free: no S, no spectrum, no SExp matrix
-            if cfg.compute_sexp:
-                import warnings
+            import warnings
 
+            if cfg.compute_sexp:
                 warnings.warn(
                     "solver_method='cg' cannot provide the SExp matrix; an "
                     "adaptive stepper's S-metric error norm will silently "
                     "degrade to the plain 2-norm. Use solver_method="
                     "'cholesky' (or 'eigh') with adaptive_heun.",
+                    stacklevel=2,
+                )
+            if cfg.use_snr:
+                warnings.warn(
+                    "solver_method='cg' is matrix-free (no spectral basis), "
+                    "so use_snr cannot gate modes and is DISABLED. Use "
+                    "'eigh' (P <= eigh_max_params), 'cholesky' with "
+                    "spectrum_topk > 0 (Ritz-projected gating), or 'minsr' "
+                    "(kernel-basis gating) for SNR regularization.",
                     stacklevel=2,
                 )
             cfg = dataclasses.replace(cfg, compute_snr=False, use_snr=False,
