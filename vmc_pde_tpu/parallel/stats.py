@@ -314,7 +314,10 @@ def tri2_bounds(P, target_block=480):
     prediction down to ~480-wide panels (K=19, 1.53 effective passes,
     521k samples/s/chip) and flattens/turns by K=32 -- narrower panels
     keep a larger fraction of the accumulator row-block resident while
-    the MXU M-dim stays >= 256."""
+    the MXU M-dim stays >= 256. Re-swept at the FULL round-4 headline
+    (N=2M, int8 cross + jet quad): the knee does not move -- K=16/19/24
+    measure 751.5k / 759.3k / 753.1k samples/s
+    (results/bench_tri2k_int8_r4.txt)."""
     K = max(1, round(P / target_block))
     return tuple(round(j * P / K) for j in range(K + 1))
 
