@@ -872,3 +872,30 @@ def test_sde_oracle_heat_chain_vs_lyapunov():
     d_ex = np.stack([S_exact[i, i, :] for i in range(6)], 0)
     # 60k particles: MC noise ~ sqrt(2/n) * S ~ 0.6% of scale
     np.testing.assert_allclose(d_mc, d_ex, rtol=0.06, atol=0.05)
+
+
+def test_minimal_demo_script(tmp_path, monkeypatch, capsys):
+    """examples/minimal_demo.py (the notebook-parity MWE,
+    vmc_pde_MinimalDemo.ipynb counterpart) end to end at a tiny budget:
+    runs, reports a sane entropy error, and writes figures + infos.hdf5."""
+    import os
+    import sys
+
+    demo_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples")
+    sys.path.insert(0, demo_dir)
+    try:
+        import minimal_demo
+    finally:
+        sys.path.remove(demo_dir)
+    outdir = str(tmp_path / "demo")
+    monkeypatch.setattr(sys, "argv", [
+        "minimal_demo.py", "--t-end", "0.02", "--samples", "256",
+        "--outdir", outdir, "--precision", "f64"])
+    minimal_demo.main()
+    out = capsys.readouterr().out
+    assert "entropy error vs analytic" in out
+    assert os.path.exists(os.path.join(outdir, "infos.hdf5"))
+    import glob
+
+    assert len(glob.glob(os.path.join(outdir, "*.pdf"))) >= 3
