@@ -312,7 +312,9 @@ def main():
     # solve, spectrum) amortize monotonically now that the Gram passes
     # sit at their MXU/HBM bounds; 2.8 s/RHS device latency is a
     # legitimate large-batch production operating point.
-    ap.add_argument("--samples", type=int, default=2097152)
+    # N=4M continues the amortization past 2M (764,868 vs 759,807
+    # samples/s, results/bench_n4m_r4.txt); chunk stays at the 65536 knee
+    ap.add_argument("--samples", type=int, default=4194304)
     ap.add_argument("--chunk", type=int, default=65536,
                     help="streaming Gram chunk size (0 = direct; the "
                          "auto gram backend picks the triangle-blocked "
