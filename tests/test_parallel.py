@@ -163,10 +163,15 @@ def test_gram_collective_layout_no_O_allgather(ctx42):
         sample-sharded end to end);
       * the Gram contraction must appear as a dp-axis all-reduce (or
         reduce-scatter) producing the tp-row-sharded (P/tp, P) block.
+
+    stats_partitioning='gspmd' pins the GSPMD layout explicitly (round 5:
+    'auto' on dp x tp now takes the shard_map stats path, whose one-psum
+    layout has its own HLO test below); GSPMD remains the IS/clip edge-
+    mode path and the tp memory-scaling layout at P > 16384.
     """
     import re
 
-    cfg = TDVPConfig(solver_method="cholesky")
+    cfg = TDVPConfig(solver_method="cholesky", stats_partitioning="gspmd")
     st, tdvp = make_problem(ctx42, dim=16, n=2048, cfg=cfg)
     P = tdvp.n_params
     N = tdvp.n_samples
@@ -236,36 +241,45 @@ def test_auto_gram_stack_engages_on_dp_mesh(ctx8, ctx42, monkeypatch):
     t8d = build(ctx8)
     assert t8d._stats_shardmap and t8d._use_tri2 and t8d._cross_int8
 
-    # tp > 1 keeps the GSPMD layout (Gram reduce-scatters into tp rows):
-    # sym2 + bf16, sharded per-sample kernel
-    t42 = build(ctx42)
-    assert not t42._stats_shardmap
-    assert t42._use_sym2 and not t42._use_tri2 and not t42._cross_int8
+    # tp > 1 (round-5 parity): the mesh flattens into the sample axis and
+    # the SAME fast stack engages -- tri2 + int8 + per-device kernels,
+    # one psum over both axes (previously the tp>1 default fell back to
+    # GSPMD sym2 + bf16, the ~44% regression class round 4 confined there)
+    t42 = build(ctx42, chunk_size=1024)
+    assert t42._stats_shardmap
+    assert t42._use_tri2 and not t42._use_sym2
+    assert t42._cross_int8
+    assert t42._ps_local is not None and t42._ps_split is not None
 
     # opting out restores GSPMD on the dp mesh
     tg = build(ctx8, stats_partitioning="gspmd")
     assert not tg._stats_shardmap and tg._use_sym2 and not tg._use_tri2
 
     # ... and requesting shard_map on an ineligible config fails loudly
+    # (eloc_clip needs a global median; stays GSPMD)
     with pytest.raises(ValueError, match="shard_map"):
-        build(ctx42, stats_partitioning="shard_map")
+        build(ctx8, stats_partitioning="shard_map", eloc_clip=5.0)
 
 
+@pytest.mark.parametrize("mesh", ["dp8", "dp4tp2"])
 @pytest.mark.parametrize("chunk", [0, 512])
-def test_tdvp_tri2_int8_sharded_matches_single(chunk, ctx1, ctx8):
-    """Explicit tri2 + int8 on a dp8 mesh (the shard_map stats path) must
-    reproduce the single-device tri2 + int8 statistics and update. Each
-    shard quantizes with its own per-column scales, so the agreement bar
-    is the int8 class's own (~2^-15 of the Gram scale), same as the
-    sharded-sym2 bar."""
+def test_tdvp_tri2_int8_sharded_matches_single(chunk, mesh, ctx1, ctx8,
+                                               ctx42):
+    """Explicit tri2 + int8 on a mesh (the shard_map stats path) must
+    reproduce the single-device tri2 + int8 statistics and update -- on
+    dp8 AND on dp4 x tp2, where the mesh flattens into 8 sample shards
+    (round-5 tp parity). Each shard quantizes with its own per-column
+    scales, so the agreement bar is the int8 class's own (~2^-15 of the
+    Gram scale), same as the sharded-sym2 bar."""
     from vmc_pde_tpu.utils.dtypes import resolve
 
     prec = resolve("tpu")
+    ctx_multi = ctx8 if mesh == "dp8" else ctx42
     cfg = TDVPConfig(gram_backend="tri2", gram_cross="int8",
                      gram_precision="high", chunk_size=chunk,
                      compute_snr=True, compute_sexp=True)
     st1, t1 = make_problem(ctx1, dim=4, n=2048, cfg=cfg, prec=prec)
-    stm, tm = make_problem(ctx8, dim=4, n=2048, cfg=cfg, prec=prec)
+    stm, tm = make_problem(ctx_multi, dim=4, n=2048, cfg=cfg, prec=prec)
     assert t1._use_tri2 and tm._use_tri2
     assert t1._cross_int8 and tm._cross_int8
     assert tm._stats_shardmap and not t1._stats_shardmap
@@ -293,7 +307,7 @@ def test_tdvp_tri2_int8_sharded_matches_single(chunk, ctx1, ctx8):
     z = st1.flow.latent_sample(jax.random.PRNGKey(7), params, 2048,
                                dtype=prec.compute)
     x, _ = jax.vmap(st1.flow.push, in_axes=(None, 0))(params, z)
-    xs = jax.device_put(x, ctx8.sharding(ctx8.samples_spec))
+    xs = jax.device_put(x, ctx_multi.sharding(ctx_multi.samples_spec))
     if chunk:
         s1 = t1._chunked_stats(theta_c, 0.0, x)
     else:
@@ -308,12 +322,15 @@ def test_tdvp_tri2_int8_sharded_matches_single(chunk, ctx1, ctx8):
                                rtol=1e-4, atol=1e-7)
 
 
-def test_shardmap_stats_single_big_allreduce(ctx8):
+@pytest.mark.parametrize("mesh", ["dp8", "dp4tp2"])
+def test_shardmap_stats_single_big_allreduce(mesh, ctx8, ctx42):
     """The round-3 collective-bytes claim, replaced by an HLO measurement
     (round-4 verdict item 1): on the shard_map stats path the compiled
     chunked tri2+int8 RHS must contain EXACTLY ONE all-reduce at Gram
     scale (the fused psum of the assembled (P, P) moments -- independent
-    of the chunk count) and no (N, P) O-matrix all-gather."""
+    of the chunk count) and no (N, P) O-matrix all-gather. Round 5: the
+    same invariant on the dp4 x tp2 mesh, where the psum reduces over
+    both axes (one replica group of all 8 devices)."""
     import re
 
     from vmc_pde_tpu.utils.dtypes import resolve
@@ -322,7 +339,8 @@ def test_shardmap_stats_single_big_allreduce(ctx8):
     cfg = TDVPConfig(gram_backend="tri2", gram_cross="int8",
                      gram_precision="high", chunk_size=256,
                      compute_snr=True)
-    st, tdvp = make_problem(ctx8, dim=8, n=2048, cfg=cfg, prec=prec)
+    ctx_multi = ctx8 if mesh == "dp8" else ctx42
+    st, tdvp = make_problem(ctx_multi, dim=8, n=2048, cfg=cfg, prec=prec)
     assert tdvp._stats_shardmap and tdvp._use_tri2
     P = tdvp.n_params
     N = tdvp.n_samples
@@ -358,3 +376,99 @@ def test_shardmap_stats_single_big_allreduce(ctx8):
     )
     # ... and it is the fused moments psum: S0 + A + the (P,) vectors
     assert big[0] >= 2 * P * P
+
+
+# ---------------------------------------------------------------------------
+# Round-5 verdict item 3: the IS/clip edge modes are EXCLUDED from the
+# shard_map auto-gate (is_gamma needs globally normalized IS weights,
+# eloc_clip a global median -- order statistics the local per-device program
+# cannot see). These tests pin (a) that exclusion, (b) dp8 sharded==single
+# equivalence for both modes through the GSPMD path they do take, and
+# (c) that the weighted GSPMD path still never all-gathers the O matrix.
+# ---------------------------------------------------------------------------
+
+def test_is_gamma_sharded_matches_single(ctx1, ctx8):
+    """Tail-tempered IS (is_gamma < 1, Student-t latent): the weighted
+    Gram/force/SNR statistics on a dp8 mesh must match the single-device
+    values. The weight normalization (w / mean(w)) and the weighted
+    second moments are GSPMD reductions; sharding must only reorder
+    them."""
+    cfg = TDVPConfig(is_gamma=0.6, compute_snr=True)
+    st1, t1 = make_problem(ctx1, dim=2, n=2048, latent_name="Student_t",
+                           cfg=cfg)
+    stm, tm = make_problem(ctx8, dim=2, n=2048, latent_name="Student_t",
+                           cfg=cfg)
+    assert not t1._stats_shardmap and not tm._stats_shardmap  # stays GSPMD
+
+    key = jax.random.PRNGKey(21)
+    theta = st1.get_parameters()
+    u1, a1 = t1.rhs(theta, 0.0, key)
+    um, am = tm.rhs(theta, 0.0, key)
+    assert not bool(am["nan"])
+    # f64 statistics (make_problem default Precision.f64_everywhere), but
+    # the regularized eigh pseudo-inverse amplifies the collective
+    # reduction-reordering ulps on near-null modes (measured: 4e-6 abs on
+    # a 2.8-scale update, 0.18 relative on ~1e-5-scale components), so
+    # the bar is dominant-component relative plus a small absolute floor
+    # -- same class as the sharded-sym2 bar above
+    np.testing.assert_allclose(np.asarray(um), np.asarray(u1),
+                               rtol=1e-3, atol=2e-5)
+    # the eigenvalue spectrum is basis-stable and pins the weighted Gram;
+    # per-mode SNR is NOT compared -- eigenvectors of near-degenerate
+    # modes rotate freely under ulp-level S differences, scrambling the
+    # per-mode projection (the update above is invariant to that)
+    np.testing.assert_allclose(np.sort(np.asarray(am["ev"])),
+                               np.sort(np.asarray(a1["ev"])),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(float(am["solver_res"]),
+                               float(a1["solver_res"]), atol=1e-7)
+
+
+def test_eloc_clip_sharded_matches_single(ctx1, ctx8):
+    """MAD-winsorized Eloc (eloc_clip > 0) needs the global median -- the
+    sharded jnp.median lowers to a GSPMD gather/sort of the (N,) Eloc
+    vector (small), and every downstream statistic must match the
+    single-device clip exactly up to reduction reordering."""
+    cfg = TDVPConfig(eloc_clip=2.0, compute_snr=True)
+    st1, t1 = make_problem(ctx1, dim=2, n=2048, cfg=cfg)
+    stm, tm = make_problem(ctx8, dim=2, n=2048, cfg=cfg)
+    assert not t1._stats_shardmap and not tm._stats_shardmap  # stays GSPMD
+
+    key = jax.random.PRNGKey(22)
+    theta = st1.get_parameters()
+    u1, a1 = t1.rhs(theta, 0.0, key)
+    um, am = tm.rhs(theta, 0.0, key)
+    assert not bool(am["nan"])
+    # same near-null-mode amplification bar as the IS test above; the
+    # clipped Eloc itself (global median, winsorized values) matches to
+    # f64 sum-reordering
+    np.testing.assert_allclose(np.asarray(um), np.asarray(u1),
+                               rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(float(am["eloc_mean"]),
+                               float(a1["eloc_mean"]), rtol=1e-9)
+
+
+def test_is_gamma_sharded_no_O_allgather(ctx8):
+    """The weighted (IS) GSPMD stats path on a dp8 mesh must keep the
+    (N, P) O matrix sample-sharded -- same invariant as the unweighted
+    path (a silent all-gather here would be the 'mesh perf cliff for
+    Student-t IS users' the round-4 verdict warned about)."""
+    import re
+
+    cfg = TDVPConfig(is_gamma=0.6, compute_snr=True)
+    st, tdvp = make_problem(ctx8, dim=4, n=2048, latent_name="Student_t",
+                            cfg=cfg)
+    P = tdvp.n_params
+    N = tdvp.n_samples
+    theta_c = jnp.asarray(st.get_parameters(), jnp.float64)
+    txt = tdvp._fused.lower(
+        theta_c, 0.0, jax.random.PRNGKey(0), None, None, None, None,
+        n=N, n_obs=tdvp.n_samples_obs, with_obs=True,
+    ).compile().as_text()
+    ag_shapes = re.findall(r"= \w+\[([0-9,]*)\][^\n]* all-gather\(", txt)
+    ag_sizes = [int(np.prod([int(d) for d in s.split(",") if d] or [1]))
+                for s in ag_shapes]
+    assert not ag_sizes or max(ag_sizes) < N * P, (
+        f"(N, P) = ({N}, {P}) O-matrix all-gather on the IS path: "
+        f"{ag_shapes}"
+    )

@@ -726,23 +726,24 @@ def test_gram_backend_tri2_rejects_other_numerics(ctx1):
 
 
 def test_gram_backend_tri2_mesh_needs_shardmap(ctx8, ctx42):
-    """Round 4: explicit tri2 on a dp-only mesh rides the shard_map stats
-    path (local strips, one psum) -- accepted. On configs ineligible for
-    it (tp > 1, or stats_partitioning='gspmd'), the K+1 split
-    dot_generals would each all-reduce separately under GSPMD, so the
-    explicit override must still fail loudly."""
+    """Rounds 4-5: explicit tri2 on a multi-device mesh rides the
+    shard_map stats path (local strips, one psum) -- accepted on dp-only
+    AND (round 5) dp x tp meshes, where the mesh flattens into the
+    sample axis. On configs ineligible for it
+    (stats_partitioning='gspmd'), the K+1 split dot_generals would each
+    all-reduce separately under GSPMD, so the explicit override must
+    still fail loudly."""
     from vmc_pde_tpu.utils.dtypes import resolve
 
-    _, t8 = make_problem(ctx8, cfg=TDVPConfig(gram_backend="tri2",
-                                              gram_precision="high"),
-                         prec=resolve("tpu"))
-    assert t8._use_tri2 and t8._stats_shardmap
+    for ctx in (ctx8, ctx42):
+        _, t = make_problem(ctx, cfg=TDVPConfig(gram_backend="tri2",
+                                                gram_precision="high"),
+                            prec=resolve("tpu"))
+        assert t._use_tri2 and t._stats_shardmap
 
-    for ctx, cfg in (
-        (ctx42, TDVPConfig(gram_backend="tri2", gram_precision="high")),
-        (ctx8, TDVPConfig(gram_backend="tri2", gram_precision="high",
-                          stats_partitioning="gspmd")),
-    ):
+    for ctx in (ctx8, ctx42):
+        cfg = TDVPConfig(gram_backend="tri2", gram_precision="high",
+                         stats_partitioning="gspmd")
         with pytest.raises(ValueError, match="shard_map"):
             make_problem(ctx, cfg=cfg, prec=resolve("tpu"))
 

@@ -77,8 +77,10 @@ class RunConfig:
                                     # and shard_map-stats dp meshes)
     # Mesh statistics partitioning: auto | gspmd | shard_map
     # (TDVPConfig.stats_partitioning -- "auto" runs the stats block under
-    # shard_map on dp-only meshes: per-shard fast Gram stack, ONE psum of
-    # the assembled moments per RHS)
+    # shard_map on multi-device meshes: per-shard fast Gram stack, ONE
+    # psum of the assembled moments per RHS; dp x tp meshes flatten into
+    # the sample axis (round 5). gspmd remains the IS/clip edge-mode path
+    # and the tp memory-scaling layout at P > 16384)
     stats_partitioning: str = "auto"
     hessian_mode: str = "auto"      # auto | trace | block (TDVPConfig)
     # Per-sample pipeline backend: auto | xla | pallas (TDVPConfig;

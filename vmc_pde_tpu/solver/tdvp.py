@@ -164,13 +164,24 @@ class TDVPConfig:
     # triangle strips are assembled per device, and ONE psum of the
     # finished (P, P) moments crosses the fabric per statistics
     # evaluation (per RHS, not per chunk: the chunked scan accumulates
-    # locally). The int8 cross pass quantizes each dp shard with its own
+    # locally). The int8 cross pass quantizes each shard with its own
     # per-column scales and de-scales BEFORE the psum, so it needs no
     # amax collective at all -- the two round-3 objections to tri2/int8
-    # on meshes dissolve rather than get paid. "auto" picks shard_map on
-    # dp-only meshes (tp=1) for the stats-based solvers (eigh/cholesky)
-    # outside the IS/clip edge modes, and gspmd elsewhere (tp>1 keeps
-    # the Gram's reduce-scatter-into-tp layout).
+    # on meshes dissolve rather than get paid. On dp x tp meshes
+    # (round-5) the whole mesh flattens into the sample axis: dp * tp
+    # shards of n / (dp * tp) samples each, one psum over both axes --
+    # which also removes GSPMD's tp-fold replication of the per-sample
+    # gradient stage (see _stats_sharded). "auto" picks shard_map on any
+    # multi-device mesh for the stats-based solvers (eigh/cholesky)
+    # outside the IS/clip edge modes -- those keep gspmd: eloc_clip
+    # needs a global median (an order statistic the local program can't
+    # see) and is_gamma needs globally normalized IS weights; both are
+    # direct-path-only low-N modes where the collective layout is a
+    # minor cost (sharded==single equivalence for them is pinned by
+    # tests/test_parallel.py). On tp > 1 meshes 'auto' additionally
+    # requires P <= 16384: past that, GSPMD's tp-row-sharded Gram is
+    # the memory-scaling layout the tp axis exists for (see the gate
+    # comment in __init__).
     stats_partitioning: str = "auto"
     # Per-sample pipeline backend. "xla": vmapped value_and_grad +
     # quad_trace fused by XLA (the measured default). "pallas": the fused
@@ -615,32 +626,54 @@ class TDVP:
                 f"unknown stats_partitioning {cfg.stats_partitioning!r}")
         # shard_map stats (TDVPConfig.stats_partitioning): per-device local
         # moment accumulation with ONE psum of the assembled (P, P) moments
-        # per statistics evaluation. Eligibility: a multi-device dp-only
-        # mesh (tp>1 keeps GSPMD's reduce-scatter-into-tp Gram layout), a
+        # per statistics evaluation. Eligibility: a multi-device mesh, a
         # stats-based solver (cg/minsr are gram-free and already lower
         # well), no global-median clip, no IS weights (both need global
         # order statistics / normalization the local program can't see),
-        # and -- when chunked -- a chunk size that splits evenly into
-        # per-device chunks.
+        # and sample budgets/chunks that split evenly over ALL mesh
+        # devices. On dp x tp meshes (round-5 tp parity) the path
+        # flattens the whole mesh into the sample axis: each of the
+        # dp * tp devices runs the local fast-Gram stack (tri2 + int8 +
+        # split kernel) on n / (dp * tp) samples. That strictly beats the
+        # GSPMD layout on per-sample FLOPs -- GSPMD keeps samples
+        # dp-sharded, so the per-sample gradient stage is REPLICATED
+        # across tp and only the Gram dot_general splits its output rows
+        # over tp -- while per-device Gram MACs are identical
+        # (n/(dp tp) * P^2 here vs n/dp * P^2/tp there) and the
+        # cross-device traffic stays ONE fused psum of the assembled
+        # moments (GSPMD pays one collective per sample-contracting
+        # dot_general: 2 for sym2, +2 with SNR on).
         smap_ok = (
-            self.ctx.dp_size > 1
-            and self.ctx.tp_size == 1
+            self.ctx.mesh.size > 1
             and method in ("eigh", "cholesky")
             and cfg.eloc_clip == 0.0
             and cfg.is_gamma == 1.0
             and (cfg.chunk_size == 0
-                 or cfg.chunk_size % self.ctx.dp_size == 0)
+                 or cfg.chunk_size % self.ctx.mesh.size == 0)
+            and self.n_samples % self.ctx.mesh.size == 0
         )
         if cfg.stats_partitioning == "shard_map" and not smap_ok:
             raise ValueError(
                 "stats_partitioning='shard_map' needs a multi-device "
-                "dp-only mesh, solver_method eigh/cholesky, no "
-                "eloc_clip/is_gamma, and chunk_size divisible by dp "
+                "mesh, solver_method eigh/cholesky, no "
+                "eloc_clip/is_gamma, and n_samples/chunk_size divisible "
+                "by the mesh size "
                 f"(mesh dp={self.ctx.dp_size} tp={self.ctx.tp_size}, "
-                f"method={method!r})"
+                f"method={method!r}, n_samples={self.n_samples}, "
+                f"chunk_size={cfg.chunk_size})"
             )
-        self._stats_shardmap = (cfg.stats_partitioning != "gspmd"
-                                and smap_ok)
+        # 'auto' on tp > 1 meshes keeps GSPMD once P is large enough that
+        # the per-device ASSEMBLED moments stop being comfortably
+        # HBM-resident: tp's design role is the P^2-breaking regime
+        # (SCALING.md "Mesh axes"), where GSPMD's tp-row-sharded Gram
+        # (P/tp, P) is the point -- the flat-sample shard_map path
+        # assembles full (P, P) matrices per device (1 GB per moment at
+        # P=16384 f32, x3 with SNR on), so it must not silently replace
+        # the memory-scaling layout. Explicit 'shard_map' overrides.
+        self._stats_shardmap = smap_ok and (
+            cfg.stats_partitioning == "shard_map"
+            or (cfg.stats_partitioning == "auto"
+                and (self.ctx.tp_size == 1 or self.n_params <= 16384)))
         if cfg.gram_precision not in stats.PRECISIONS:
             raise ValueError(f"unknown gram_precision "
                              f"{cfg.gram_precision!r}")
@@ -1164,7 +1197,11 @@ class TDVP:
         local = axis is not None
         n_loc, d = x.shape
         n = n_global if local else n_loc
-        c = cfg.chunk_size // self.ctx.dp_size if local else cfg.chunk_size
+        # local mode: the shard_map path flattens the WHOLE mesh (dp and,
+        # at tp > 1, tp too) into the sample axis, so each device scans
+        # chunks of chunk_size / mesh.size rows
+        c = cfg.chunk_size // self.ctx.mesh.size if local \
+            else cfg.chunk_size
         if n_loc % c:
             raise ValueError(
                 f"sample budget {n_loc} is not a multiple of chunk size "
@@ -1502,22 +1539,37 @@ class TDVP:
         single-device fast Gram stack (tri2 + int8 + split kernel) run
         unchanged per shard on a dp mesh -- the TPU-native analogue of
         mpi_wrapper.global_covariance's reduce-locally-then-Allreduce
-        (vmc_fluids/mpi_wrapper.py:248-274), minus the host staging."""
-        from ..parallel.mesh import SAMPLE_AXIS
+        (vmc_fluids/mpi_wrapper.py:248-274), minus the host staging.
+
+        dp x tp meshes (round-5 tp parity): the samples shard over BOTH
+        axes -- the mesh is flattened into one sample axis of dp * tp
+        devices and the psum reduces over both. Compared to the GSPMD
+        reduce-scatter-into-tp-rows layout this removes the tp-fold
+        replication of the per-sample gradient stage (GSPMD shards only
+        the Gram dot_general's output rows over tp), keeps per-device
+        Gram MACs identical, and fuses ALL Gram-scale moments (S0 and,
+        with SNR on, the two A moments) into the same single collective.
+        The solve then runs replicated from the psummed (P, P) -- at
+        P ~ 1e4 it is < 2% of the RHS, so the tp-sharded solve input
+        layout the reduce-scatter variant would preserve buys nothing."""
+        from ..parallel.mesh import PARAM_AXIS, SAMPLE_AXIS
 
         cfg = self.cfg
         chunked = bool(cfg.chunk_size and cfg.chunk_size < n)
+        # both names always exist on the mesh (tp=1 axes psum trivially),
+        # so one spec serves every mesh shape
+        axes = (SAMPLE_AXIS, PARAM_AXIS)
 
         def inner(th, t_, x_loc):
             if chunked:
                 return self._chunked_stats(th, t_, x_loc,
-                                           axis=SAMPLE_AXIS, n_global=n)
+                                           axis=axes, n_global=n)
             return self._direct_stats(th, t_, x_loc,
-                                      axis=SAMPLE_AXIS, n_global=n)
+                                      axis=axes, n_global=n)
 
         from jax.sharding import PartitionSpec as PS
 
-        dp, rep = PS(SAMPLE_AXIS), PS()
+        dp, rep = PS(axes), PS()
         want_A = cfg.compute_snr or cfg.use_snr
         out_specs = dict(
             logp=dp, eloc=dp,
