@@ -730,14 +730,17 @@ def _tile_quad_jet(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
         return ((y[0][:half], y[1][:half], cut(y[2], True)),
                 (y[0][half:], y[1][half:], cut(y[2], False)))
 
-    def jcouple(u, s, t, es, variant):
+    def jcouple(u, s, t, variant):
+        # the exp jet exists only for the variants that consume it (the
+        # additive coupling never scales, so its branch must not even
+        # build the jexp graph)
         if variant == "additive":
             return jadd(u, s)
         if variant == "affine":
-            return jadd(jmul(u, es), t)
+            return jadd(jmul(u, jexp(s)), t)
         if variant == "scale":
-            return jmul(u, es)
-        return jadd(jmul(u, es), s)  # scale_shift
+            return jmul(u, jexp(s))
+        return jadd(jmul(u, jexp(s)), s)  # scale_shift
 
     Z1 = _fold_dirs(dirs, k, X.shape[0], m)
     z = (X, Z1, None)
@@ -750,13 +753,13 @@ def _tile_quad_jet(kt, specs, sel, off, X, dirs, k_dirs: int, tparams=None):
         else:
             s2 = jmlp(p["s2"], u2, spec.alpha)
             t2 = None
-        v1 = jcouple(u1, s2, t2, jexp(s2), spec.variant)
+        v1 = jcouple(u1, s2, t2, spec.variant)
         if spec.variant == "affine":
             s1, t1 = jpair(p["f1"], v1, spec.alpha)
         else:
             s1 = jmlp(p["s1"], v1, spec.alpha)
             t1 = None
-        v2 = jcouple(u2, s1, t1, jexp(s1), spec.variant)
+        v2 = jcouple(u2, s1, t1, spec.variant)
         zm = jadd(jlin(lambda v, S=Su: _mm_tn_split(S, v), v1),
                   jlin(lambda v, S=Sd: _mm_tn_split(S, v), v2))
         if spec.variant != "additive":
@@ -1102,7 +1105,8 @@ def make_per_sample_sharded(flow, unravel, n_params: int,
                             hess_dirs: Optional[np.ndarray], ctx,
                             tile: int = DEFAULT_TILE,
                             interpret: bool = False,
-                            template=None):
+                            template=None,
+                            quad_impl: str = "jet"):
     """The fused kernel on a multi-device mesh: shard_map the single-
     device Pallas program over the sample (dp) axis. Each device runs the
     kernel on its local (N/dp, d) tile stream and writes its local
@@ -1113,10 +1117,12 @@ def make_per_sample_sharded(flow, unravel, n_params: int,
     varying-manual-axes info); outputs are dp-sharded / tp-replicated by
     construction. Sample budgets must divide dp_size * tile -- ragged
     budgets fall back to the XLA pipeline at the TDVP call site, same as
-    single-device."""
+    single-device. ``quad_impl`` forwards to make_per_sample_pallas
+    (jet default; "jvp" selects the pure-forward fallback), so meshes
+    can pick the same quad variants as the single-device builder."""
     run = make_per_sample_pallas(flow, unravel, n_params, hess_dirs,
                                  tile=tile, interpret=interpret,
-                                 template=template)
+                                 template=template, quad_impl=quad_impl)
     want_quad = hess_dirs is not None
 
     def body(theta, x):
