@@ -298,7 +298,8 @@ def main():
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--depth", type=int, default=4)
     # Default operating point (late round 3): N=524,288 / chunk=65,536
-    # with the triangle-blocked Gram (tri2, auto, 480-wide panels) and
+    # with the triangle-blocked Gram (tri2, auto; round-5 panels are
+    # 512-aligned with merged remainder) and
     # the split-emitting per-sample Pallas kernel -- measured ~534k
     # samples/s/chip (results/bench_op2_r3d.txt; stacked gains
     # documented in BENCHMARKS.md: opsweep +19%, tri2 +10%, split kernel
@@ -307,14 +308,20 @@ def main():
     # doubles per-step latency each time; 5e5 samples at ~1 s/RHS is the
     # realistic production point. Same model, physics, and metric --
     # batch size is a free parameter of the samples/s/chip measurement.
-    # default: top of the measured N-curve (727k/746k/756k samples/s at
-    # N=524k/1M/2M, BENCHMARKS.md) -- per-RHS fixed costs (sampling,
-    # solve, spectrum) amortize monotonically now that the Gram passes
-    # sit at their MXU/HBM bounds; 2.8 s/RHS device latency is a
-    # legitimate large-batch production operating point.
-    # N=4M continues the amortization past 2M (764,868 vs 759,807
-    # samples/s, results/bench_n4m_r4.txt); chunk stays at the 65536 knee
-    ap.add_argument("--samples", type=int, default=4194304)
+    # default: the N=2M knee of the measured N-curve (727k/746k/760k
+    # samples/s at N=524k/1M/2M, BENCHMARKS.md) -- per-RHS fixed costs
+    # (sampling, solve, spectrum) amortize monotonically now that the
+    # Gram passes sit at their MXU/HBM bounds. N=4M continues the
+    # amortization by only +0.8% (765,561 vs 759,807 samples/s,
+    # results/bench_n4m_r4.txt) at 2x the per-step latency (5.48 vs
+    # 2.76 s/RHS) and 2x the memory footprint -- the wrong trade for
+    # trajectory workloads with a step-count budget (BENCHMARKS.md
+    # "Operating point: latency vs throughput"), so 2M is the default
+    # and 4M the explicit peak-throughput point. With the round-5
+    # 512-aligned-merge tri2 panels the 2M default measures 767,587
+    # samples/s/chip (results/bench_panel512_r5.txt) -- above the
+    # round-4 N=4M peak at half its latency.
+    ap.add_argument("--samples", type=int, default=2097152)
     ap.add_argument("--chunk", type=int, default=65536,
                     help="streaming Gram chunk size (0 = direct; the "
                          "auto gram backend picks the triangle-blocked "

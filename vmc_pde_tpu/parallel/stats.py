@@ -303,23 +303,28 @@ def sym2_outer_sum(data):
     return m1 + m2 + m2.T
 
 
-def tri2_bounds(P, target_block=480):
-    """Panel boundaries for the triangle-blocked Gram: K ~= P/target_block
-    near-equal column panels. Returned as a static tuple (b_0=0, ..., b_K=P)
-    so every slice below is shape-static under jit.
+def tri2_bounds(P, target_block=512):
+    """Panel boundaries for the triangle-blocked Gram: MXU-ALIGNED column
+    panels of exactly ``target_block`` with the remainder MERGED into the
+    last panel (K = max(1, P // target_block)). Returned as a static tuple
+    (b_0=0, ..., b_K=P) so every slice below is shape-static under jit.
 
-    Default panel width from the measured K sweep at the flagship shape
-    (P=9264, N=524k, split kernel; results/bench_tri2k_r3c.txt,
-    bench_splitk*_r3d.txt): throughput rises past the pure FLOP model's
-    prediction down to ~480-wide panels (K=19, 1.53 effective passes,
-    521k samples/s/chip) and flattens/turns by K=32 -- narrower panels
-    keep a larger fraction of the accumulator row-block resident while
-    the MXU M-dim stays >= 256. Re-swept at the FULL round-4 headline
-    (N=2M, int8 cross + jet quad): the knee does not move -- K=16/19/24
-    measure 751.5k / 759.3k / 753.1k samples/s
-    (results/bench_tri2k_int8_r4.txt)."""
-    K = max(1, round(P / target_block))
-    return tuple(round(j * P / K) for j in range(K + 1))
+    Round-5 panel-width experiment (scripts/bench_tri2_panel512.py,
+    results/bench_panel512_r5.txt, N=2M / chunk 65536 / P=9264 / int8
+    cross / jet quad, two sessions): exact 512-wide panels with the
+    48-wide remainder merged into a 560-wide last panel (K=18) measure
+    2732-2734 ms/RHS vs the previous near-equal 487/488-wide K=19
+    default's 2760-2788 -- +1.0-1.9%, 767,587 samples/s/chip at the N=2M
+    operating point. The gain needs BOTH alignment and no-sliver: exact
+    512s with a SEPARATE 48-wide remainder strip (K=19) measure at the
+    old default, wider aligned panels lose (768: ~753k, 1024: ~747k),
+    matching the earlier near-equal K sweep where K=16 (579-wide) lost
+    to K=19 (results/bench_tri2k_int8_r4.txt: 751.5k/759.3k/753.1k at
+    K=16/19/24). History of the near-equal scheme: ~480-wide panels were
+    the measured knee of rounds 3-4 (results/bench_tri2k_r3c.txt,
+    bench_splitk*_r3d.txt)."""
+    K = max(1, P // target_block)
+    return tuple([i * target_block for i in range(K)] + [P])
 
 
 def tri2_gram_sum_raw(data, w=None, bounds=None, cross_int8=False):
