@@ -15,7 +15,9 @@ import jax, jax.numpy as jnp
 from vmc_pde_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 log(f"devices: {jax.devices()}")
-state, tdvp = build(32, 4, 524288, chunk=65536, gram_backend="tri2")
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
+CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
+state, tdvp = build(32, 4, N, chunk=CHUNK, gram_backend="tri2")
 theta = jnp.asarray(state.get_parameters(), tdvp.precision.compute)
 key = jax.random.PRNGKey(0)
 n = tdvp.n_samples
