@@ -718,6 +718,46 @@ def test_minsr_sym2_kernel_matches_high(ctx1):
             err_msg=f"spectrum (chunk={chunk})")
 
 
+def test_tri2_target_block_override(ctx1):
+    """Round 5: tri2_bounds emits MXU-aligned panels with the remainder
+    merged into the last one, and TDVPConfig.tri2_target_block overrides
+    the width (the multichip dryrun's compile-budget knob). Identical
+    statistics at any K."""
+    from vmc_pde_tpu.parallel import stats as pstats
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    assert pstats.tri2_bounds(9264) == tuple(
+        [i * 512 for i in range(18)] + [9264])
+    assert pstats.tri2_bounds(9264, 4096) == (0, 4096, 9264)
+    assert pstats.tri2_bounds(100) == (0, 100)
+
+    with pytest.raises(ValueError, match="tri2_target_block"):
+        make_problem(ctx1, cfg=TDVPConfig(tri2_target_block=-1))
+
+    # K-independence of the statistics: coarse override == default
+    prec = resolve("tpu")
+    st, t_def = make_problem(ctx1, dim=4, n=512,
+                             cfg=TDVPConfig(gram_backend="tri2",
+                                            gram_precision="high"),
+                             prec=prec)
+    _, t_k2 = make_problem(ctx1, dim=4, n=512,
+                           cfg=TDVPConfig(gram_backend="tri2",
+                                          gram_precision="high",
+                                          tri2_target_block=40),
+                           prec=prec)
+    theta_c = jnp.asarray(st.get_parameters(), prec.compute)
+    params = t_def._unravel(theta_c)
+    z = st.flow.latent_sample(jax.random.PRNGKey(3), params, 512,
+                              dtype=prec.compute)
+    x, _ = jax.vmap(st.flow.push, in_axes=(None, 0))(params, z)
+    s_def = t_def._direct_stats(theta_c, 0.0, x)
+    s_k2 = t_k2._direct_stats(theta_c, 0.0, x)
+    a, b = np.asarray(s_def["S0"]), np.asarray(s_k2["S0"])
+    # same hi/lo split numerics, different panel partition: agreement to
+    # f32 sum-order noise
+    np.testing.assert_allclose(b, a, atol=1e-6 * max(np.abs(a).max(), 1.0))
+
+
 def test_gram_backend_tri2_rejects_other_numerics(ctx1):
     """tri2 IS the f32 'high' operating point, like sym2."""
     with pytest.raises(ValueError, match="tri2"):

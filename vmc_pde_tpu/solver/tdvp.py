@@ -135,6 +135,16 @@ class TDVPConfig:
     # quantization scales, de-scaled before the psum -- no amax
     # collective); it stays bf16 on GSPMD meshes/CPU.
     gram_cross: str = "auto"
+    # tri2 panel width override (0 = stats.tri2_bounds' measured default,
+    # 512-aligned merged-remainder panels). The panel count K = P //
+    # target_block trades MXU M-dim efficiency against strip count; the
+    # partitioning/collective structure is K-independent (strips
+    # accumulate locally, one psum of the assembled moments), so
+    # compile-budget-sensitive configurations (the virtual-CPU-mesh
+    # multichip dryrun: each strip is a separately compiled dot on the
+    # single-core CPU backend) can pick a coarse K without changing the
+    # program class being validated.
+    tri2_target_block: int = 0
     # Spectral observability on the large-P (cholesky) path: the reference
     # records the FULL eigenvalue spectrum and per-mode SNR every step
     # (tdvp.py:57-71, main.py:186-187), which the O(P^3) eigh makes
@@ -802,6 +812,9 @@ class TDVP:
 
         if cfg.gram_cross not in ("auto", "bf16", "int8"):
             raise ValueError(f"unknown gram_cross {cfg.gram_cross!r}")
+        if cfg.tri2_target_block < 0:
+            raise ValueError("tri2_target_block must be >= 0 "
+                             "(0 = measured default)")
         # int8 cross pass: only the sym2/tri2 split backends HAVE a cross
         # term; the request is meaningless (and would silently do nothing)
         # on xla/syrk configurations. "auto" engages it on single-device
@@ -1127,7 +1140,10 @@ class TDVP:
         # every direct-path Gram weight is nonnegative (IS weights, e_c^2,
         # logp^2), so sym2's sqrt(w) folding applies throughout
         if self._use_tri2:
-            bounds = stats.tri2_bounds(self.n_params)
+            bounds = (stats.tri2_bounds(self.n_params,
+                                        cfg.tri2_target_block)
+                      if cfg.tri2_target_block
+                      else stats.tri2_bounds(self.n_params))
             gram = lambda gw=None: stats.tri2_gram_finalize(
                 stats.tri2_gram_sum_raw(O_c, gw, bounds,
                                         cross_int8=self._cross_int8),
@@ -1275,7 +1291,9 @@ class TDVP:
         # mirrors once after the scan (gram_fin); the other backends carry
         # the assembled (P, P) matrix and gram_fin is the identity.
         if self._use_tri2:
-            bounds = stats.tri2_bounds(P)
+            bounds = (stats.tri2_bounds(P, cfg.tri2_target_block)
+                      if cfg.tri2_target_block
+                      else stats.tri2_bounds(P))
             gram_sum = lambda Os, w=None, signed=False: \
                 stats.tri2_gram_sum_raw(Os, w, bounds,
                                         cross_int8=self._cross_int8)

@@ -25,11 +25,15 @@ def enable_compilation_cache(path: str = DEFAULT_DIR) -> None:
     # XLA:CPU persistent-cache loads go through the CPU AOT deserializer,
     # whose machine-feature check false-positives on this image (compile
     # entries carry XLA tuning pseudo-features like +prefer-no-scatter the
-    # host detector never reports) and can silently drop compiled symbols,
-    # surfacing as flaky "Function <fusion> not found" dispatch failures
-    # (utils/aot.py SUPPORTED_BACKENDS rationale). The cache exists for
-    # the minutes-long remote TPU compiles; CPU compiles are cheap --
-    # skip the cache there. VMC_CPU_CACHE=1 opts back in.
+    # host detector never reports). Round-5 measurement: the loader logs
+    # the mismatch and then REJECTS the entry, silently recompiling --
+    # warm == cold (287 vs 283 s on a dryrun leg,
+    # results/dryrun_cold_r5.txt) -- and historically the round-1-era
+    # loads that did go through could drop compiled symbols ("Function
+    # <fusion> not found", utils/aot.py SUPPORTED_BACKENDS rationale).
+    # The cache exists for the minutes-long remote TPU compiles; on CPU
+    # it buys nothing -- skip it there. VMC_CPU_CACHE=1 opts back in
+    # (for experiments only).
     if (jax.default_backend() == "cpu"
             and os.environ.get("VMC_CPU_CACHE", "0") != "1"):
         return
