@@ -261,6 +261,48 @@ def test_auto_gram_stack_engages_on_dp_mesh(ctx8, ctx42, monkeypatch):
         build(ctx8, stats_partitioning="shard_map", eloc_clip=5.0)
 
 
+def test_auto_shardmap_tp_memory_guard(ctx8, ctx42, monkeypatch):
+    """Round 5: 'auto' on tp > 1 meshes keeps GSPMD once P > 16384 --
+    the flat-sample shard_map path assembles full (P, P) moments per
+    device, so it must not silently replace the tp-row-sharded Gram
+    layout that the tp axis exists for at memory-breaking P (SCALING.md
+    'Mesh axes'). dp-only meshes have no such tradeoff (the GSPMD Gram
+    is replicated there anyway), and an explicit 'shard_map' request
+    overrides. Gate logic only (fake TPU backend, no programs run)."""
+    import vmc_pde_tpu.solver.tdvp as tdvp_mod
+    from vmc_pde_tpu.models.flow import build_flow
+    from vmc_pde_tpu.models.state import VarState
+    from vmc_pde_tpu.ops.evolution import FokkerPlanck
+    from vmc_pde_tpu.sampling.sampler import Sampler
+    from vmc_pde_tpu.solver.tdvp import TDVP
+    from vmc_pde_tpu.utils.dtypes import resolve
+
+    monkeypatch.setattr(tdvp_mod.jax, "default_backend", lambda: "tpu")
+    prec = resolve("tpu")
+    dim = 32
+    # depth 8 doubles the d=32 flow to P = 18528 > 16384
+    fl, params = build_flow(1, dim=dim, depth=8, variant="affine",
+                            dtype=prec.compute)
+
+    def build(ctx, **cfg_kw):
+        s = Sampler(dim=dim, ctx=ctx, name="Gauss", dtype=prec.compute)
+        st = VarState(fl, params, sampler=s, ctx=ctx, precision=prec)
+        return TDVP(st, FokkerPlanck(), TDVPConfig(**cfg_kw),
+                    n_samples=2048, precision=prec)
+
+    t42 = build(ctx42)
+    assert t42.n_params > 16384
+    assert not t42._stats_shardmap        # auto falls back to GSPMD
+    assert t42._use_sym2                  # ... with the sym2 split
+
+    t8 = build(ctx8)
+    assert t8._stats_shardmap             # dp-only: no memory tradeoff
+    assert t8._use_tri2
+
+    t42e = build(ctx42, stats_partitioning="shard_map")
+    assert t42e._stats_shardmap           # explicit override wins
+
+
 @pytest.mark.parametrize("mesh", ["dp8", "dp4tp2"])
 @pytest.mark.parametrize("chunk", [0, 512])
 def test_tdvp_tri2_int8_sharded_matches_single(chunk, mesh, ctx1, ctx8,
